@@ -1,0 +1,215 @@
+"""Fused log-mel spectrogram front-end (TPU-native).
+
+Re-designs the reference's torchaudio front-end (sed_trainer_pretrained.py:96-107
+and take_log :260-272 in recipes/dcase2024_task4_baseline/local/) as jittable
+XLA/MXU-friendly ops:
+
+    waveform [B, N] -> frames -> window -> |DFT| (power=1) -> mel -> dB -> clamp
+
+Reference numerics being matched (DCASE 2021-2024 confs are identical here):
+  * STFT: n_fft = win_length = 2048, hop = 256, hamming window (periodic=False,
+    i.e. symmetric), center=True with reflect padding, power=1 (magnitude).
+  * Mel: 128 mels, f_min=0, f_max=8000, HTK mel scale, no filterbank norm
+    (torchaudio MelScale defaults: mel_scale="htk", norm=None).
+  * AmplitudeToDB(stype="amplitude"): 20*log10(max(x, 1e-5)), ref=1.0, no
+    top_db; then clamp to [-50, 80].
+
+Two device backends:
+  * "fft":    jnp.fft.rfft on framed+windowed signal (XLA FftOp).
+  * "matmul": GEMM-native DFT (frames @ windowed-DFT-basis, two real matmuls
+    on the MXU, then magnitude, then the mel GEMM). On TPU the MXU path can
+    beat the FFT op for these sizes; both produce identical math.
+
+All filterbank/window constants are precomputed on host in float64 numpy and
+closed over as jnp constants, so the jitted graph contains only the hot ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Front-end configuration (defaults = DCASE Task 4 baseline feats)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 2048
+    win_length: int = 2048
+    hop_length: int = 256
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    n_mels: int = 128
+    power: float = 1.0
+    window: str = "hamming"  # "hamming" | "hann"
+    periodic_window: bool = False  # reference uses periodic=False (symmetric)
+    center: bool = True
+    pad_mode: str = "reflect"
+    # AmplitudeToDB params (stype="amplitude" => multiplier 20)
+    amin: float = 1e-5
+    db_clamp_min: float = -50.0
+    db_clamp_max: float = 80.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, n_samples: int) -> int:
+        if self.center:
+            n_samples = n_samples + 2 * (self.n_fft // 2)
+        return 1 + (n_samples - self.n_fft) // self.hop_length
+
+
+def make_window(kind: str, win_length: int, periodic: bool) -> np.ndarray:
+    """Window identical to torch.{hamming,hann}_window(periodic=...)."""
+    n = win_length if periodic else win_length - 1
+    t = np.arange(win_length, dtype=np.float64)
+    if kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(2.0 * math.pi * t / n)
+    elif kind == "hann":
+        w = 0.5 - 0.5 * np.cos(2.0 * math.pi * t / n)
+    else:
+        raise ValueError(f"unknown window {kind!r}")
+    return w
+
+
+def _hz_to_mel_htk(f: np.ndarray | float) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(cfg: MelConfig) -> np.ndarray:
+    """Triangular mel filterbank [n_freqs, n_mels].
+
+    Matches torchaudio.functional.melscale_fbanks(norm=None, mel_scale="htk"):
+    triangles are linear in Hz between mel-spaced corner frequencies evaluated
+    on the rFFT bin grid linspace(0, sr/2, n_freqs).
+    """
+    all_freqs = np.linspace(0.0, cfg.sample_rate / 2.0, cfg.n_freqs)
+    m_min = _hz_to_mel_htk(cfg.f_min)
+    m_max = _hz_to_mel_htk(cfg.f_max)
+    m_pts = np.linspace(m_min, m_max, cfg.n_mels + 2)
+    f_pts = _mel_to_hz_htk(m_pts)  # [n_mels + 2]
+    f_diff = np.diff(f_pts)  # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb  # [n_freqs, n_mels]
+
+
+def _frame_indices(n_samples_padded: int, n_fft: int, hop: int) -> np.ndarray:
+    n_frames = 1 + (n_samples_padded - n_fft) // hop
+    return (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).astype(
+        np.int32
+    )
+
+
+def frame_signal(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """[B, N] -> [B, n_frames, n_fft] with torch.stft center/reflect padding."""
+    if cfg.center:
+        p = cfg.n_fft // 2
+        audio = jnp.pad(audio, ((0, 0), (p, p)), mode=cfg.pad_mode)
+    idx = _frame_indices(audio.shape[-1], cfg.n_fft, cfg.hop_length)
+    return audio[:, idx]
+
+
+def _dft_basis(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT basis matrices [n_fft, n_freqs] (cos, -sin)."""
+    k = np.arange(cfg.n_freqs, dtype=np.float64)
+    t = np.arange(cfg.n_fft, dtype=np.float64)
+    ang = 2.0 * math.pi * np.outer(t, k) / cfg.n_fft
+    w = make_window(cfg.window, cfg.win_length, cfg.periodic_window)
+    if cfg.win_length < cfg.n_fft:  # torch center-pads the window
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        w = np.pad(w, (lpad, cfg.n_fft - cfg.win_length - lpad))
+    cos_b = np.cos(ang) * w[:, None]
+    sin_b = -np.sin(ang) * w[:, None]
+    return cos_b, sin_b
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def spectrogram(
+    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+) -> jnp.ndarray:
+    """Magnitude (power=1) or power spectrogram. [B, N] -> [B, n_freqs, n_frames]."""
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    audio = audio.astype(jnp.float32)
+    frames = frame_signal(audio, cfg)  # [B, T, n_fft]
+    if backend == "fft":
+        w = jnp.asarray(
+            make_window(cfg.window, cfg.win_length, cfg.periodic_window),
+            dtype=jnp.float32,
+        )
+        spec = jnp.fft.rfft(frames * w, n=cfg.n_fft, axis=-1)
+        mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    elif backend == "matmul":
+        cos_b, sin_b = _dft_basis(cfg)
+        re = jnp.dot(
+            frames, jnp.asarray(cos_b, jnp.float32), preferred_element_type=jnp.float32
+        )
+        im = jnp.dot(
+            frames, jnp.asarray(sin_b, jnp.float32), preferred_element_type=jnp.float32
+        )
+        mag2 = re * re + im * im
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    if cfg.power == 1.0:
+        out = jnp.sqrt(jnp.maximum(mag2, 0.0))
+    elif cfg.power == 2.0:
+        out = mag2
+    else:
+        out = jnp.maximum(mag2, 0.0) ** (cfg.power / 2.0)
+    out = jnp.swapaxes(out, -1, -2)  # [B, n_freqs, T]
+    return out[0] if squeeze else out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def mel_spectrogram(
+    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+) -> jnp.ndarray:
+    """[B, N] -> mel spectrogram [B, n_mels, n_frames] (power=cfg.power)."""
+    spec = spectrogram(audio, cfg, backend)  # [..., n_freqs, T]
+    fb = jnp.asarray(mel_filterbank(cfg), dtype=jnp.float32)  # [n_freqs, n_mels]
+    mel = jnp.einsum(
+        "...ft,fm->...mt", spec, fb, preferred_element_type=jnp.float32
+    )
+    return mel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def amplitude_to_db(mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """torchaudio AmplitudeToDB(stype='amplitude', amin=1e-5) + clamp [-50, 80].
+
+    Matches reference take_log (sed_trainer_pretrained.py:260-272): ref=1.0 so
+    the `- multiplier*log10(max(amin, ref))` shift is zero only when ref >= amin;
+    torchaudio computes db = 20*log10(clamp(x, min=amin)) - 20*log10(max(amin, 1.0)).
+    """
+    multiplier = 10.0 if cfg.power == 2.0 else 20.0
+    db = multiplier * jnp.log10(jnp.maximum(mel, cfg.amin))
+    db = db - multiplier * math.log10(max(cfg.amin, 1.0))
+    return jnp.clip(db, cfg.db_clamp_min, cfg.db_clamp_max)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def log_mel_spectrogram(
+    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+) -> jnp.ndarray:
+    """Fused front-end: waveform [B, N] -> log-mel dB [B, n_mels, n_frames].
+
+    Equivalent of reference `self.mel_spec(audio)` + `take_log` composed; under
+    jit XLA fuses the window/magnitude/mel/log elementwise chain around the
+    FFT/GEMM so intermediates stay in VMEM tiles.
+    """
+    return amplitude_to_db(mel_spectrogram(audio, cfg, backend), cfg)
