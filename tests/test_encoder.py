@@ -27,10 +27,14 @@ def test_n_frames_matches_reference_formula():
 
 
 def test_time_frame_roundtrip_property(rng):
-    times = rng.uniform(0, 10, size=1000)
+    # 156 frames * 4 pool * 256 hop / 16000 = 9.984 s: the frame grid covers
+    # [0, 9.984]; times beyond that clip (matching the reference clip at
+    # n_frames, encoder.py:71-74). Round trip is exact inside the grid.
+    times = rng.uniform(0, 9.984, size=1000)
     frames = ENC._time_to_frame(times)
     back = ENC._frame_to_time(frames)
     np.testing.assert_allclose(back, times, atol=1e-9)
+    assert ENC._frame_to_time(ENC._time_to_frame(9.999)) == pytest.approx(9.984)
     assert frames.min() >= 0 and frames.max() <= ENC.n_frames
     # clipping at the edges
     assert ENC._time_to_frame(99.0) == ENC.n_frames
