@@ -1,0 +1,135 @@
+"""Convert reference PyTorch checkpoints into desed_task_tpu flax variables.
+
+Supports the reference CRNN (desed_task/nnet/CRNN.py) parameter naming:
+  cnn.cnn.conv{i}.*, cnn.cnn.batchnorm{i}.*, cnn.cnn.glu{i}.linear.*,
+  cnn.cnn.cg{i}.linear.*, rnn.rnn.weight_ih_l{k}[_reverse], dense.*,
+  dense_softmax.*, cat_tf.*, shrink_emb.{0,1}.*, frame_embs_encoder.*
+
+Layout conventions:
+  torch Conv2d weight [out, in, kh, kw] -> flax Conv kernel [kh, kw, in, out]
+  torch Linear weight [out, in]         -> flax Dense kernel [in, out]
+  torch GRU weight_ih_l{k} [3H, in]     -> kept as-is (models/rnn.py uses the
+                                           torch layout internally)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _gru_paths(dest: dict, prefix_path: tuple[str, ...], key: str, val: np.ndarray):
+    """Map torch nn.GRU param names to models.rnn.BidirectionalGRU params."""
+    m = re.match(r"(weight|bias)_(ih|hh)_l(\d+)(_reverse)?$", key)
+    if not m:
+        raise KeyError(f"unrecognized GRU param {key!r}")
+    kind, gate, layer, rev = m.groups()
+    direction = "bwd" if rev else "fwd"
+    name = f"{kind}_{gate}"
+    _set(dest, prefix_path + (f"l{layer}_{direction}", name), val)
+
+
+def convert_crnn_state_dict(
+    state_dict: Mapping[str, Any],
+) -> dict:
+    """torch CRNN state_dict -> {"params": ..., "batch_stats": ...} pytree."""
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, t in state_dict.items():
+        val = _np(t)
+        parts = key.split(".")
+        if parts[0] == "cnn":
+            # cnn.cnn.<module><i>.<param>
+            mod = parts[2]
+            if mod.startswith("conv"):
+                if parts[3] == "weight":
+                    _set(params, ("cnn", mod, "kernel"), val.transpose(2, 3, 1, 0))
+                else:
+                    _set(params, ("cnn", mod, "bias"), val)
+            elif mod.startswith("batchnorm"):
+                if parts[3] == "weight":
+                    _set(params, ("cnn", mod, "scale"), val)
+                elif parts[3] == "bias":
+                    _set(params, ("cnn", mod, "bias"), val)
+                elif parts[3] == "running_mean":
+                    _set(batch_stats, ("cnn", mod, "mean"), val)
+                elif parts[3] == "running_var":
+                    _set(batch_stats, ("cnn", mod, "var"), val)
+                # num_batches_tracked dropped
+            elif mod.startswith("layernorm"):
+                name = {"weight": "scale", "bias": "bias"}[parts[3]]
+                _set(params, ("cnn", mod, name), val)
+            elif mod.startswith(("glu", "cg")):
+                # reference GLU/ContextGating submodule "linear"
+                if parts[4] == "weight":
+                    _set(params, ("cnn", mod, "Dense_0", "kernel"), val.T)
+                else:
+                    _set(params, ("cnn", mod, "Dense_0", "bias"), val)
+            elif mod.startswith(("dropout", "pooling", "relu")):
+                continue
+            else:
+                raise KeyError(f"unrecognized CNN module in {key!r}")
+        elif parts[0] == "rnn":
+            # rnn.rnn.weight_ih_l0 ...
+            _gru_paths(params, ("rnn",), parts[2], val)
+        elif parts[0] == "frame_embs_encoder":
+            _gru_paths(params, ("frame_embs_encoder",), parts[1], val)
+        elif parts[0] in ("dense", "dense_softmax"):
+            if len(parts) == 3:  # multi-head ModuleList: dense.{i}.weight
+                name = f"{parts[0]}_{parts[1]}"
+                leaf = parts[2]
+            else:
+                name = parts[0]
+                leaf = parts[1]
+            if leaf == "weight":
+                _set(params, (name, "kernel"), val.T)
+            else:
+                _set(params, (name, "bias"), val)
+        elif parts[0] == "cat_tf":
+            if parts[1] == "weight":
+                _set(params, ("cat_tf", "kernel"), val.T)
+            else:
+                _set(params, ("cat_tf", "bias"), val)
+        elif parts[0] == "shrink_emb":
+            # Sequential(Linear, LayerNorm)
+            if parts[1] == "0":
+                if parts[2] == "weight":
+                    _set(params, ("shrink_emb_dense", "kernel"), val.T)
+                else:
+                    _set(params, ("shrink_emb_dense", "bias"), val)
+            else:
+                name = {"weight": "scale", "bias": "bias"}[parts[2]]
+                _set(params, ("shrink_emb_ln", name), val)
+        else:
+            raise KeyError(f"unrecognized CRNN param {key!r}")
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
+def convert_gru_state_dict(state_dict: Mapping[str, Any], prefix: str = "") -> dict:
+    """torch nn.GRU state_dict -> models.rnn.BidirectionalGRU params tree."""
+    params: dict = {}
+    for key, t in state_dict.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix) :]
+        _gru_paths(params, (), key, _np(t))
+    return params

@@ -9,14 +9,22 @@ train_pretrained.py:551-558).
 
 import os
 
-# Must happen before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax import anywhere in the test process. Force (not
+# setdefault): the session environment may pre-select the TPU platform, and
+# unit tests need the deterministic fp32 CPU backend + 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The container's sitecustomize may import jax and register the TPU plugin
+# before conftest runs; the config update below wins regardless.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
