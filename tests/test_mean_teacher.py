@@ -1,0 +1,160 @@
+"""Mean-teacher train-step tests: loss plumbing, EMA semantics, scheduler
+curve, and multi-device data parallelism on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desed_task_tpu.models import CRNN
+from desed_task_tpu.ops.frontend import MelConfig
+from desed_task_tpu.parallel import make_mesh, replicate, shard_batch
+from desed_task_tpu.training import (
+    ExponentialWarmup,
+    MeanTeacherConfig,
+    SlotSpec,
+    create_state,
+    make_optimizer,
+    make_predict_step,
+    make_train_step,
+)
+
+MEL = MelConfig()
+N_CLASS = 10
+
+
+def tiny_model():
+    return CRNN(
+        nclass=N_CLASS,
+        n_RNN_cell=16,
+        n_layers_RNN=1,
+        kernel_size=[3, 3],
+        padding=[1, 1],
+        stride=[1, 1],
+        nb_filters=[8, 8],
+        pooling=[[2, 8], [2, 16]],  # 128 mels -> 1
+        dropout=0.1,
+    )
+
+
+def tiny_cfg(sizes=(4, 4, 8)):
+    return MeanTeacherConfig(
+        slots=(
+            SlotSpec("synth", sizes[0], "strong"),
+            SlotSpec("weak", sizes[1], "weak"),
+            SlotSpec("unlabeled", sizes[2], "unlabeled"),
+        ),
+        mixup="soft",
+        mixup_prob=0.5,
+        mixup_groups=(("synth",), ("weak",)),
+        rampup_steps=50,
+        const_max=2.0,
+    )
+
+
+def make_batch(cfg, rng, n_samples=32000, t_lab=31):
+    batch = {}
+    for s in cfg.slots:
+        audio = rng.standard_normal((s.size, n_samples)).astype(np.float32) * 0.1
+        labels = (rng.random((s.size, N_CLASS, t_lab)) > 0.9).astype(np.float32)
+        if s.role == "unlabeled":
+            labels = np.zeros_like(labels)
+        batch[s.name] = {"audio": audio, "labels": labels}
+    return batch
+
+
+def test_scheduler_matches_reference_curve():
+    sched = ExponentialWarmup(max_lr=0.001, rampup_length=100)
+    # exp(-5 * (1 - s/100)^2)
+    for s in [0, 10, 50, 100, 200]:
+        phase = 1.0 - min(s, 100) / 100
+        expected = 0.001 * np.exp(-5 * phase * phase)
+        np.testing.assert_allclose(float(sched(s)), expected, rtol=1e-6)
+    ann = ExponentialWarmup(
+        0.001, 100, start_annealing=200, max_steps=400, min_lr=1e-8
+    )
+    np.testing.assert_allclose(float(ann(300)), 0.001 * np.cos(np.pi / 4), rtol=1e-6)
+    assert float(ann(399)) >= 1e-8
+
+
+def test_train_step_runs_and_learns(rng):
+    # no warmup / no mixup so the supervised loss on a fixed batch must drop
+    cfg = tiny_cfg()
+    cfg = MeanTeacherConfig(
+        slots=cfg.slots, mixup=None, rampup_steps=0, const_max=2.0
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=0)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(model, cfg, tx, sched))
+    key = jax.random.key(1)
+    sup = []
+    for i in range(10):
+        state, metrics = step(state, batch, key)
+        sup.append(float(metrics["loss_strong"]) + float(metrics["loss_weak"]))
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 10
+    assert float(metrics["lr"]) > 0
+    assert sup[-1] < sup[0]
+
+
+def test_ema_alpha_schedule_and_teacher_tracks_student(rng):
+    cfg = tiny_cfg()
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-2, rampup_steps=10)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    t0 = jax.tree_util.tree_leaves(state.teacher_params)[0].copy()
+    s0 = jax.tree_util.tree_leaves(state.student_params)[0].copy()
+    np.testing.assert_array_equal(t0, s0)  # teacher starts as a copy
+    step = jax.jit(make_train_step(model, cfg, tx, sched))
+    state, _ = step(state, batch, jax.random.key(1))
+    s1 = jax.tree_util.tree_leaves(state.student_params)[0]
+    t1 = jax.tree_util.tree_leaves(state.teacher_params)[0]
+    # at step 0: alpha = min(1 - 1/2, 0.999) = 0.5 -> teacher halfway to new student
+    np.testing.assert_allclose(np.asarray(t1), 0.5 * np.asarray(t0) + 0.5 * np.asarray(s1), atol=1e-6)
+    # BN stats are NOT EMA'd: teacher stats come from its own forward
+    if jax.tree_util.tree_leaves(state.teacher_stats):
+        t_stats = jax.tree_util.tree_leaves(state.teacher_stats)[0]
+        s_stats = jax.tree_util.tree_leaves(state.student_stats)[0]
+        assert not np.allclose(np.asarray(t_stats), 0.0) or not np.allclose(
+            np.asarray(s_stats), 0.0
+        )
+
+
+def test_train_step_data_parallel_8dev(rng):
+    """Same math on a ('data',) mesh: global batch sharded over 8 devices."""
+    assert jax.device_count() == 8
+    mesh = make_mesh({"data": 8})
+    cfg = tiny_cfg(sizes=(8, 8, 16))  # divisible by 8
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=50)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    state = jax.device_put(state, replicate(mesh))
+    sbatch = shard_batch(batch, mesh)
+    step = jax.jit(make_train_step(model, cfg, tx, sched))
+    state, metrics = step(state, sbatch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = step(state, sbatch, jax.random.key(1))
+    assert int(state.step) == 2
+
+
+def test_predict_step_eval_mode(rng):
+    cfg = tiny_cfg()
+    model = tiny_model()
+    tx, _ = make_optimizer(lr=1e-3, rampup_steps=50)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    predict = jax.jit(make_predict_step(model))
+    audio = jnp.asarray(batch["synth"]["audio"])
+    strong, weak = predict(state.student_params, state.student_stats, audio)
+    assert strong.shape == (4, N_CLASS, 31)
+    assert weak.shape == (4, N_CLASS)
+    out = np.asarray(strong)
+    assert (out >= 0).all() and (out <= 1).all()
+    # deterministic (no dropout in eval)
+    strong2, _ = predict(state.student_params, state.student_stats, audio)
+    np.testing.assert_array_equal(out, np.asarray(strong2))
