@@ -1,0 +1,90 @@
+"""Benchmark: mean-teacher CRNN training throughput (clips/sec/chip).
+
+Runs the flagship DCASE-2024 configuration (CRNN + precomputed BEATs frame
+embeddings, 5-slot batch [12, 6, 6, 12, 24] = 60 clips/step — the reference's
+per-device batch, pretrained.yaml:8) for the full fused train step: on-device
+mel front-end, mixup, student+teacher forwards, backward, Adam, EMA.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (documented estimate — the reference README publishes
+energy, not throughput): 2024 baseline training used 1.666 kWh on one
+A100-40GB (README.md:169-173). At a ~350 W average device+host draw that is
+~4.8 h. With the reference conf (300 epochs max, epoch length ~118 steps set
+by the weak set: 1420/12, incl. every-10-epoch validation) that is ~35k steps
+of 60 clips => ~120 clips/sec on the A100. vs_baseline = value / 120.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 120.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from desed_task_tpu.parallel import make_mesh, replicate, shard_batch
+    from desed_task_tpu.recipes_config import crnn_2024, mean_teacher_2024
+    from desed_task_tpu.training import (
+        create_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    n_dev = jax.device_count()
+    cfg = mean_teacher_2024(batch_scale=n_dev)
+    model = crnn_2024()
+    n_class, t_lab = 27, 156
+
+    rng = np.random.default_rng(0)
+    batch = {}
+    for s in cfg.slots:
+        batch[s.name] = {
+            "audio": rng.standard_normal((s.size, 160000)).astype(np.float32) * 0.05,
+            "labels": (rng.random((s.size, n_class, t_lab)) > 0.95).astype(np.float32),
+            "embeddings": rng.standard_normal((s.size, 768, 496)).astype(np.float32),
+            "class_mask": np.ones((s.size, n_class), bool),
+        }
+
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=1000)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(model, cfg, tx, sched), donate_argnums=0)
+
+    if n_dev > 1:
+        mesh = make_mesh({"data": n_dev})
+        state = jax.device_put(state, replicate(mesh))
+        batch = shard_batch(batch, mesh)
+    else:
+        batch = jax.device_put(batch)
+
+    key = jax.random.key(1)
+    # warmup / compile
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready((state, metrics))
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, key)
+    # block on the full output pytree: blocking only on one scalar under-counts
+    # on the remote-tunneled backend
+    jax.block_until_ready((state, metrics))
+    dt = time.perf_counter() - t0
+
+    clips_per_step = cfg.batch_size
+    clips_per_sec_per_chip = clips_per_step * n_steps / dt / n_dev
+    result = {
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec_per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip / BASELINE_CLIPS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,9 @@ class MelConfig:
     amin: float = 1e-5
     db_clamp_min: float = -50.0
     db_clamp_max: float = 80.0
+    # "matmul" (GEMM-native DFT on the MXU) is ~3x faster than XLA's TPU FFT
+    # for these sizes (measured: 6.8 ms vs 21 ms for B=60 10-s clips on v5e)
+    backend: str = "matmul"
 
     @property
     def n_freqs(self) -> int:
@@ -139,9 +142,10 @@ def _dft_basis(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def spectrogram(
-    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+    audio: jnp.ndarray, cfg: MelConfig, backend: str | None = None
 ) -> jnp.ndarray:
     """Magnitude (power=1) or power spectrogram. [B, N] -> [B, n_freqs, n_frames]."""
+    backend = backend or cfg.backend
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
@@ -177,7 +181,7 @@ def spectrogram(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def mel_spectrogram(
-    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+    audio: jnp.ndarray, cfg: MelConfig, backend: str | None = None
 ) -> jnp.ndarray:
     """[B, N] -> mel spectrogram [B, n_mels, n_frames] (power=cfg.power)."""
     spec = spectrogram(audio, cfg, backend)  # [..., n_freqs, T]
@@ -204,7 +208,7 @@ def amplitude_to_db(mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def log_mel_spectrogram(
-    audio: jnp.ndarray, cfg: MelConfig, backend: str = "fft"
+    audio: jnp.ndarray, cfg: MelConfig, backend: str | None = None
 ) -> jnp.ndarray:
     """Fused front-end: waveform [B, N] -> log-mel dB [B, n_mels, n_frames].
 

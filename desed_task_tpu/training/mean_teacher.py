@@ -167,12 +167,15 @@ def create_state(
     )
     params = variables["params"]
     stats = variables.get("batch_stats", FrozenDict())
+    # real copies (not aliases): student/teacher leaves must be distinct
+    # buffers so the train step can donate the whole state.
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
     return MeanTeacherState(
         step=jnp.zeros((), jnp.int32),
         student_params=params,
-        teacher_params=jax.tree_util.tree_map(lambda x: x, params),
+        teacher_params=copy(params),
         student_stats=stats,
-        teacher_stats=jax.tree_util.tree_map(lambda x: x, stats),
+        teacher_stats=copy(stats),
         opt_state=optimizer.init(params),
         scaler=scaler,
     )
