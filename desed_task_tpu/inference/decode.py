@@ -1,0 +1,127 @@
+"""Prediction decoding: frame scores -> score DataFrames + event lists.
+
+Re-designs the reference's per-clip/threshold pandas loop
+(recipes/*/local/utils.py batched_decode_preds :34-92 — the eval-time CPU
+bottleneck, SURVEY.md §3.1) as a vectorized pipeline:
+
+  * median filtering happens on device for the whole batch at once
+    (ops/median.classwise_median_filter);
+  * thresholding for ALL thresholds is one broadcast comparison;
+  * only the boolean activity tensor crosses to host, where run-length
+    extraction is vectorized numpy (np.diff/nonzero), not per-row pandas.
+
+Outputs mirror the reference contract: (scores_raw, scores_postprocessed,
+prediction_dfs) with sed_scores_eval-style score DataFrames keyed by clip
+stem and one event DataFrame per threshold.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..labels.encoder import ManyHotEncoder
+from ..labels.events import find_contiguous_regions
+from ..ops.median import classwise_median_filter
+
+
+def create_score_dataframe(scores, timestamps, event_classes) -> pd.DataFrame:
+    """[T, C] scores + [T+1] timestamps -> DataFrame(onset, offset, classes)."""
+    scores = np.asarray(scores)
+    timestamps = np.asarray(timestamps)
+    data = {"onset": timestamps[:-1], "offset": timestamps[1:]}
+    for i, c in enumerate(event_classes):
+        data[c] = scores[:, i]
+    return pd.DataFrame(data)
+
+
+def validate_score_dataframe(df: pd.DataFrame):
+    classes = [c for c in df.columns if c not in ("onset", "offset")]
+    timestamps = np.r_[df["onset"].to_numpy(), df["offset"].to_numpy()[-1]]
+    return timestamps, classes
+
+
+def _events_from_activity(act: np.ndarray, encoder: ManyHotEncoder, filename: str):
+    """[T, C] bool -> rows (event_label, onset, offset, filename)."""
+    rows = []
+    for c in range(act.shape[1]):
+        regions = find_contiguous_regions(act[:, c])
+        for a, b in regions:
+            rows.append(
+                (
+                    encoder.labels[c],
+                    float(encoder._frame_to_time(a)),
+                    float(encoder._frame_to_time(b)),
+                    filename,
+                )
+            )
+    return rows
+
+
+def batched_decode_preds(
+    strong_preds,
+    filenames,
+    encoder: ManyHotEncoder,
+    thresholds=(0.5,),
+    median_filter=None,
+    pad_indx=None,
+):
+    """strong_preds: [B, C, T] scores (np or jax array).
+
+    median_filter: None | per-class window list | callable([T, C])->[T, C].
+    Returns (scores_raw, scores_postprocessed, prediction_dfs).
+    """
+    import jax.numpy as jnp
+
+    preds = np.asarray(strong_preds, np.float32)
+    B, C, T = preds.shape
+    if isinstance(median_filter, (list, tuple, np.ndarray)):
+        smoothed = np.asarray(
+            classwise_median_filter(
+                jnp.asarray(preds), median_filter, class_axis=-2, time_axis=-1
+            )
+        )
+        med_callable = None
+    else:
+        smoothed = None
+        med_callable = median_filter
+
+    thresholds = list(thresholds)
+    scores_raw = {}
+    scores_postprocessed = {}
+    rows_per_th: dict[float, list] = {th: [] for th in thresholds}
+
+    for j in range(B):
+        audio_id = Path(filenames[j]).stem
+        filename = audio_id + ".wav"
+        c_scores = preds[j].T  # [T, C]
+        if pad_indx is not None:
+            true_len = int(c_scores.shape[0] * float(pad_indx[j]))
+            c_scores = c_scores[:true_len]
+        timestamps = encoder._frame_to_time(np.arange(len(c_scores) + 1))
+        scores_raw[audio_id] = create_score_dataframe(
+            c_scores, timestamps, encoder.labels
+        )
+        if smoothed is not None:
+            c_post = smoothed[j].T[: len(c_scores)]
+        elif med_callable is not None:
+            c_post = med_callable(c_scores)
+        else:
+            c_post = c_scores
+        scores_postprocessed[audio_id] = create_score_dataframe(
+            c_post, timestamps, encoder.labels
+        )
+        for th in thresholds:
+            rows_per_th[th].extend(
+                _events_from_activity(c_post > th, encoder, filename)
+            )
+
+    prediction_dfs = {
+        th: pd.DataFrame(
+            rows_per_th[th], columns=["event_label", "onset", "offset", "filename"]
+        )
+        for th in thresholds
+    }
+    return scores_raw, scores_postprocessed, prediction_dfs

@@ -1,0 +1,118 @@
+"""MAESTRO long-form scoring: clip windows -> file-level segment scores.
+
+Re-implements the 2024 recipe's overlap-add evaluation helpers
+(sed_trainer_pretrained.py:1366-1491): windowed clips named
+`{file_id}-{onset_cs}-{offset_cs}` are scored per clip; their 1-s segment
+scores are overlap-added into the full-file timeline with summand-count
+averaging, and clip-level ground truths are shifted back to file time with
+per-class overlapping-event merging.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from math import ceil
+
+import numpy as np
+
+from .decode import create_score_dataframe, validate_score_dataframe
+
+
+def merge_overlapping_events(ground_truth_events: dict) -> dict:
+    """Per class, merge overlapping/adjacent (onset, offset, class) events."""
+    for clip_id, events in ground_truth_events.items():
+        per_class = defaultdict(list)
+        for ev in events:
+            per_class[ev[2]].append(ev)
+        merged_all = []
+        for _, evs in per_class.items():
+            evs = sorted(evs)
+            merged = []
+            current_offset = -1e6
+            for ev in evs:
+                if ev[0] > current_offset:
+                    merged.append(list(ev))
+                else:
+                    merged[-1][1] = max(current_offset, ev[1])
+                current_offset = merged[-1][1]
+            merged_all.extend(merged)
+        ground_truth_events[clip_id] = merged_all
+    return ground_truth_events
+
+
+def merge_maestro_ground_truth(clip_ground_truth: dict) -> dict:
+    """{clip_id: [(onset, offset, class)]} with window-relative times ->
+    {file_id: merged file-time events}. Clip ids are
+    `{file}-{onset_cs}-{offset_cs}` (centiseconds)."""
+    ground_truth = defaultdict(list)
+    for clip_id, events in clip_ground_truth.items():
+        file_id, clip_onset, _ = clip_id.rsplit("-", maxsplit=2)
+        t0 = int(clip_onset) // 100
+        ground_truth[file_id].extend(
+            [(t0 + on, t0 + off, cls) for on, off, cls in events]
+        )
+    return merge_overlapping_events(dict(ground_truth))
+
+
+def get_segment_scores(scores_df, clip_length: float, segment_length: float = 1.0):
+    """Duration-weighted mean of piecewise-constant frame scores per segment."""
+    frame_timestamps, event_classes = validate_score_dataframe(scores_df)
+    scores_arr = scores_df[event_classes].to_numpy()
+    seg_scores = []
+    seg_times = []
+    on_idx = 0
+    off_idx = 0
+    for seg_onset in np.arange(0.0, clip_length, segment_length):
+        seg_offset = seg_onset + segment_length
+        while frame_timestamps[on_idx + 1] <= seg_onset:
+            on_idx += 1
+        while off_idx < len(scores_arr) and frame_timestamps[off_idx] < seg_offset:
+            off_idx += 1
+        w = np.minimum(frame_timestamps[on_idx + 1 : off_idx + 1], seg_offset) - np.maximum(
+            frame_timestamps[on_idx:off_idx], seg_onset
+        )
+        seg_scores.append((w[:, None] * scores_arr[on_idx:off_idx]).sum(0) / w.sum())
+        seg_times.append(seg_onset)
+    seg_times.append(clip_length)
+    return create_score_dataframe(np.array(seg_scores), np.array(seg_times), event_classes)
+
+
+def get_segment_scores_and_overlap_add(
+    frame_scores: dict,
+    audio_durations: dict,
+    event_classes: list[str],
+    segment_length: float = 1.0,
+) -> dict:
+    """Overlap-add windowed clip scores into file-level segment scores.
+
+    frame_scores: {f"{file_id}-{onset_cs}-{offset_cs}": score DataFrame}
+    Returns {file_id: segment score DataFrame covering [0, duration]}.
+    """
+    segment_scores_file: dict[str, np.ndarray] = {}
+    summand_count: dict[str, np.ndarray] = {}
+    keys = ["onset", "offset"] + list(event_classes)
+    for clip_id in frame_scores:
+        file_id, clip_onset, clip_offset = clip_id.rsplit("-", maxsplit=2)
+        t0 = float(clip_onset) / 100
+        t1 = float(clip_offset) / 100
+        if file_id not in segment_scores_file:
+            n_seg = ceil(audio_durations[file_id] / segment_length)
+            segment_scores_file[file_id] = np.zeros((n_seg, len(event_classes)))
+            summand_count[file_id] = np.zeros((n_seg, len(event_classes)))
+        seg_clip = get_segment_scores(
+            frame_scores[clip_id][keys], clip_length=t1 - t0, segment_length=segment_length
+        )[event_classes].to_numpy()
+        i0 = int(t0 // segment_length)
+        segment_scores_file[file_id][i0 : i0 + len(seg_clip)] += seg_clip
+        summand_count[file_id][i0 : i0 + len(seg_clip)] += 1
+    return {
+        file_id: create_score_dataframe(
+            segment_scores_file[file_id] / np.maximum(summand_count[file_id], 1),
+            np.minimum(
+                np.arange(0.0, audio_durations[file_id] + segment_length, segment_length),
+                audio_durations[file_id],
+            ),
+            event_classes,
+        )
+        for file_id in segment_scores_file
+    }

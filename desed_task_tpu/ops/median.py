@@ -1,0 +1,73 @@
+"""On-device class-wise median filtering.
+
+Replaces the host-side scipy.ndimage.median_filter loop of the reference
+(desed_task/utils/postprocess.py ClassWiseMedianFilter) with a vectorized
+jittable op: all classes are smoothed in one pass on device, so score
+post-processing stays on-TPU in the decode path (north star: only event
+lists leave the chip).
+
+Semantics match scipy.ndimage.median_filter(x, (k, 1)) per class:
+reflect padding, window offsets arange(k) - k//2 (left-heavy for even k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("window", "axis"))
+def median_filter_1d(x: jnp.ndarray, window: int, axis: int = -1) -> jnp.ndarray:
+    """Median filter along `axis` with scipy 'reflect' boundary."""
+    if window <= 1:
+        return x
+    axis = axis % x.ndim
+    x = jnp.moveaxis(x, axis, -1)
+    left = window // 2
+    right = window - left - 1
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(left, right)], mode="symmetric")
+    idx = np.arange(x.shape[-1])[:, None] + np.arange(window)[None, :]
+    windows = xp[..., idx]  # [..., T, window]
+    med = jnp.median(windows, axis=-1)
+    return jnp.moveaxis(med, -1, axis)
+
+
+def classwise_median_filter(
+    scores: jnp.ndarray, filter_lengths, class_axis: int = -2, time_axis: int = -1
+) -> jnp.ndarray:
+    """Per-class median smoothing of [..., C, T] scores.
+
+    filter_lengths: per-class window sizes (len C), e.g. the 27 windows of the
+    2024 conf (pretrained.yaml:110). Classes sharing a window size are
+    processed together in one vectorized pass.
+    """
+    filter_lengths = tuple(int(f) for f in filter_lengths)
+    ca = class_axis % scores.ndim
+    ta = time_axis % scores.ndim
+    scores = jnp.moveaxis(scores, (ca, ta), (-2, -1))
+    C = scores.shape[-2]
+    assert len(filter_lengths) == C, (len(filter_lengths), C)
+    out = scores
+    for k in sorted(set(filter_lengths)):
+        if k <= 1:
+            continue
+        sel = np.asarray([f == k for f in filter_lengths])
+        smoothed = median_filter_1d(scores[..., sel, :], k, axis=-1)
+        out = out.at[..., sel, :].set(smoothed)
+    return jnp.moveaxis(out, (-2, -1), (ca, ta))
+
+
+class ClassWiseMedianFilter:
+    """Callable matching the reference API (postprocess.py): operates on
+    [T, C] numpy arrays, per-class window lengths."""
+
+    def __init__(self, filter_lens=(1, 1, 1)):
+        self.filter_lens = tuple(int(f) for f in filter_lens)
+
+    def __call__(self, x, **kwargs):
+        arr = jnp.asarray(np.asarray(x, np.float32))
+        out = classwise_median_filter(arr, self.filter_lens, class_axis=-1, time_axis=-2)
+        return np.asarray(out)

@@ -1,0 +1,155 @@
+"""Decode / median filter / overlap-add / segment-metric tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.ndimage import median_filter as scipy_median
+
+import jax.numpy as jnp
+
+from desed_task_tpu.inference import (
+    batched_decode_preds,
+    create_score_dataframe,
+    get_segment_scores_and_overlap_add,
+    merge_maestro_ground_truth,
+    merge_overlapping_events,
+)
+from desed_task_tpu.labels import ManyHotEncoder
+from desed_task_tpu.metrics.segments import auroc, best_fscore
+from desed_task_tpu.ops.median import ClassWiseMedianFilter, classwise_median_filter
+
+ENC = ManyHotEncoder(["A", "B", "C"], 10, 2048, 256, 4, 16000)
+
+
+def test_median_filter_matches_scipy(rng):
+    x = rng.random((5, 3, 50)).astype(np.float32)  # [B, C, T]
+    for k in [1, 3, 7, 9]:
+        ours = np.asarray(
+            classwise_median_filter(jnp.asarray(x), [k, k, k], class_axis=-2)
+        )
+        ref = scipy_median(x, size=(1, 1, k))
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_classwise_median_different_windows(rng):
+    x = rng.random((2, 3, 40)).astype(np.float32)
+    ours = np.asarray(classwise_median_filter(jnp.asarray(x), [3, 1, 7]))
+    np.testing.assert_allclose(ours[:, 0], scipy_median(x, (1, 1, 3))[:, 0], atol=1e-7)
+    np.testing.assert_allclose(ours[:, 1], x[:, 1], atol=0)
+    np.testing.assert_allclose(ours[:, 2], scipy_median(x, (1, 1, 7))[:, 2], atol=1e-7)
+
+
+def test_reference_api_median_filter(rng):
+    x = rng.random((50, 3)).astype(np.float32)  # [T, C] reference layout
+    f = ClassWiseMedianFilter((3, 5, 1))
+    out = f(x)
+    np.testing.assert_allclose(out[:, 0], scipy_median(x[:, :1], (3, 1))[:, 0], atol=1e-7)
+    np.testing.assert_allclose(out[:, 1], scipy_median(x[:, 1:2], (5, 1))[:, 0], atol=1e-7)
+
+
+def test_batched_decode_preds(rng):
+    B, C, T = 2, 3, 156
+    preds = np.zeros((B, C, T), np.float32)
+    preds[0, 0, 10:30] = 0.9  # one A event in clip 0
+    preds[1, 2, 100:150] = 0.7  # one C event in clip 1
+    raw, post, dfs = batched_decode_preds(
+        preds, ["/x/clip0.wav", "/x/clip1.wav"], ENC, thresholds=[0.5, 0.8]
+    )
+    assert set(raw) == {"clip0", "clip1"}
+    assert list(raw["clip0"].columns) == ["onset", "offset", "A", "B", "C"]
+    df5 = dfs[0.5]
+    assert len(df5) == 2
+    a_row = df5[df5.event_label == "A"].iloc[0]
+    np.testing.assert_allclose(a_row.onset, ENC._frame_to_time(10))
+    np.testing.assert_allclose(a_row.offset, ENC._frame_to_time(30))
+    assert len(dfs[0.8]) == 1  # only the 0.9-scored event survives
+
+
+def test_batched_decode_with_median_and_padding(rng):
+    B, C, T = 1, 3, 156
+    preds = rng.random((B, C, T)).astype(np.float32)
+    raw, post, dfs = batched_decode_preds(
+        preds,
+        ["clip.wav"],
+        ENC,
+        thresholds=[0.5],
+        median_filter=[3, 3, 3],
+        pad_indx=[0.5],  # only first half is real audio
+    )
+    assert len(raw["clip"]) == 78
+    assert len(post["clip"]) == 78
+
+
+def test_merge_overlapping_events():
+    gt = {"f": [(0.0, 2.0, "A"), (1.5, 3.0, "A"), (5.0, 6.0, "A"), (1.0, 2.0, "B")]}
+    out = merge_overlapping_events(gt)
+    a = sorted(ev for ev in out["f"] if ev[2] == "A")
+    assert a == [[0.0, 3.0, "A"], [5.0, 6.0, "A"]]
+
+
+def test_merge_maestro_ground_truth():
+    clip_gt = {
+        "file1-0-1000": [(1.0, 2.0, "A")],
+        "file1-500-1500": [(0.0, 1.0, "A")],  # file time 5..6
+    }
+    out = merge_maestro_ground_truth(clip_gt)
+    assert sorted(out["file1"]) == [[1.0, 2.0, "A"], [5.0, 6.0, "A"]]
+
+
+def test_overlap_add_constant_scores():
+    """Overlapping constant-score windows must average back to the constant."""
+    classes = ["A", "B"]
+    durations = {"f1": 20.0}
+    frame_scores = {}
+    for onset in range(0, 11, 5):  # windows at 0, 5, 10 (10 s each)
+        arr = np.full((156, 2), 0.4)
+        ts = np.arange(157) * 0.064
+        frame_scores[f"f1-{onset*100}-{(onset+10)*100}"] = create_score_dataframe(
+            arr, ts, classes
+        )
+    segs = get_segment_scores_and_overlap_add(frame_scores, durations, classes)
+    df = segs["f1"]
+    assert len(df) == 20
+    np.testing.assert_allclose(df["A"].to_numpy(), 0.4, atol=1e-6)
+    assert df["offset"].iloc[-1] == 20.0
+
+
+def test_segment_auroc_against_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    classes = ["A"]
+    n_clips = 30
+    scores, gts, durs = {}, {}, {}
+    for i in range(n_clips):
+        cid = f"c{i}"
+        s = rng.random((10, 1))
+        ts = np.arange(11.0)
+        scores[cid] = create_score_dataframe(s, ts, classes)
+        durs[cid] = 10.0
+        gts[cid] = [(2.0, 5.0, "A")] if rng.random() > 0.4 else []
+    res, aux = auroc(scores, gts, durs, segment_length=1.0)
+    # build the same flat segment representation for sklearn
+    y, s = [], []
+    for i in range(n_clips):
+        cid = f"c{i}"
+        vals = scores[cid]["A"].to_numpy()
+        for seg in range(10):
+            s.append(vals[seg])
+            y.append(bool(gts[cid]) and (seg >= 2 and seg < 5))
+    auc_sk = sklearn.roc_auc_score(y, s)
+    np.testing.assert_allclose(res["A"], auc_sk, atol=1e-9)
+    p_sk = sklearn.roc_auc_score(y, s, max_fpr=0.1)
+    res_p, _ = auroc(scores, gts, durs, max_fpr=0.1)
+    np.testing.assert_allclose(res_p["A"], p_sk, atol=1e-9)
+
+
+def test_best_fscore(rng):
+    classes = ["A"]
+    scores, gts, durs = {}, {}, {}
+    s = np.r_[np.full(5, 0.9), np.full(5, 0.1)][:, None]
+    scores["c"] = create_score_dataframe(s, np.arange(11.0), classes)
+    gts["c"] = [(0.0, 5.0, "A")]
+    durs["c"] = 10.0
+    res, aux = best_fscore(scores, gts, durs)
+    assert res["A"] == 1.0  # threshold between 0.1 and 0.9 separates perfectly
+    assert res["macro_average"] == 1.0
+    assert 0.1 <= aux["thresholds"]["A"] <= 0.9
