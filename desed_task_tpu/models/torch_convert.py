@@ -123,6 +123,91 @@ def convert_crnn_state_dict(
     return out
 
 
+def convert_beats_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch BEATs checkpoint["model"] -> models.beats.BEATsEncoder params.
+
+    Handles the pretraining-only keys (quantizer, predictor) by skipping.
+    Layers 1..11 share layer 0's relative_attention_bias in the reference
+    (backbone.py:80-84); the flax model only materializes it at layer 0.
+    """
+    params: dict = {}
+    for key, t in state_dict.items():
+        val = _np(t)
+        parts = key.split(".")
+        if parts[0] in ("predictor", "predictor_dropout", "quantize", "quantize_layer"):
+            continue
+        if key == "patch_embedding.weight":
+            _set(params, ("patch_embedding", "kernel"), val.transpose(2, 3, 1, 0))
+        elif key == "patch_embedding.bias":
+            _set(params, ("patch_embedding", "bias"), val)
+        elif parts[0] == "layer_norm":
+            _set(params, ("layer_norm", {"weight": "scale", "bias": "bias"}[parts[1]]), val)
+        elif parts[0] == "post_extract_proj":
+            if parts[1] == "weight":
+                _set(params, ("post_extract_proj", "kernel"), val.T)
+            else:
+                _set(params, ("post_extract_proj", "bias"), val)
+        elif parts[0] == "encoder":
+            if parts[1] == "pos_conv":
+                # encoder.pos_conv.0.{weight_g, weight_v, bias}
+                _set(params, ("encoder", "pos_conv", parts[3]), val)
+            elif parts[1] == "layer_norm":
+                _set(
+                    params,
+                    ("encoder", "layer_norm", {"weight": "scale", "bias": "bias"}[parts[2]]),
+                    val,
+                )
+            elif parts[1] == "layers":
+                i = int(parts[2])
+                sub = parts[3]
+                base = ("encoder", f"layer_{i}")
+                if sub == "self_attn":
+                    mod = parts[4]
+                    if mod == "relative_attention_bias":
+                        if i == 0:
+                            _set(params, base + ("self_attn", "relative_attention_bias"), val)
+                    elif mod == "grep_a":
+                        _set(params, base + ("self_attn", "grep_a"), val)
+                    elif mod == "grep_linear":
+                        if parts[5] == "weight":
+                            _set(params, base + ("self_attn", "grep_linear", "kernel"), val.T)
+                        else:
+                            _set(params, base + ("self_attn", "grep_linear", "bias"), val)
+                    else:  # q/k/v/out_proj
+                        if parts[5] == "weight":
+                            _set(params, base + ("self_attn", mod, "kernel"), val.T)
+                        else:
+                            _set(params, base + ("self_attn", mod, "bias"), val)
+                elif sub in ("self_attn_layer_norm", "final_layer_norm"):
+                    _set(
+                        params,
+                        base + (sub, {"weight": "scale", "bias": "bias"}[parts[4]]),
+                        val,
+                    )
+                elif sub in ("fc1", "fc2"):
+                    if parts[4] == "weight":
+                        _set(params, base + (sub, "kernel"), val.T)
+                    else:
+                        _set(params, base + (sub, "bias"), val)
+                else:
+                    raise KeyError(f"unrecognized BEATs layer param {key!r}")
+            else:
+                raise KeyError(f"unrecognized BEATs encoder param {key!r}")
+        else:
+            raise KeyError(f"unrecognized BEATs param {key!r}")
+    return params
+
+
+def load_beats_checkpoint(ckpt_path: str):
+    """Load a torch BEATs checkpoint file -> (BEATsConfig kwargs, params)."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    cfg = ckpt.get("cfg", {})
+    params = convert_beats_state_dict(ckpt["model"])
+    return cfg, params
+
+
 def convert_gru_state_dict(state_dict: Mapping[str, Any], prefix: str = "") -> dict:
     """torch nn.GRU state_dict -> models.rnn.BidirectionalGRU params tree."""
     params: dict = {}
