@@ -23,7 +23,7 @@ Outputs: strong [B, C, T'], weak [B, C] — same as reference.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Any, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -82,6 +82,9 @@ class CRNN(nn.Module):
     nb_filters: Sequence[int] = (64, 64, 64)
     pooling: Sequence[Sequence[int]] = ((1, 4), (1, 4), (1, 4))
     normalization: str = "batch"
+    # computation dtype for the CNN stack (bf16 on TPU; fp32 default keeps
+    # bit-parity with the reference). The RNN and heads stay fp32.
+    compute_dtype: Any = None
 
     @property
     def _n_layers(self) -> int:
@@ -130,8 +133,10 @@ class CRNN(nn.Module):
             nb_filters=self.nb_filters,
             pooling=self.pooling,
             normalization=self.normalization,
+            dtype=self.compute_dtype,
             name="cnn",
         )(x, train=bn_train)
+        x = x.astype(jnp.float32)
 
         # [B, T', F', C]
         bs, frames, freq, chan = x.shape

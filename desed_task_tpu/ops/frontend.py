@@ -58,6 +58,9 @@ class MelConfig:
     # "matmul" (GEMM-native DFT on the MXU) is ~3x faster than XLA's TPU FFT
     # for these sizes (measured: 6.8 ms vs 21 ms for B=60 10-s clips on v5e)
     backend: str = "matmul"
+    # "bfloat16" runs the DFT/mel GEMMs with bf16 inputs + fp32 accumulation
+    # (4x MXU throughput); "float32" is bit-parity with the reference
+    compute_dtype: str = "float32"
 
     @property
     def n_freqs(self) -> int:
@@ -118,11 +121,27 @@ def _frame_indices(n_samples_padded: int, n_fft: int, hop: int) -> np.ndarray:
 
 
 def frame_signal(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
-    """[B, N] -> [B, n_frames, n_fft] with torch.stft center/reflect padding."""
+    """[B, N] -> [B, n_frames, n_fft] with torch.stft center/reflect padding.
+
+    When hop divides n_fft (the DCASE config: 2048 = 8 * 256) framing is done
+    with 8 contiguous slices of a [B, n_chunks, hop] view instead of a gather
+    — ~2x faster on TPU (XLA gathers of 300 MB frame tensors are slow).
+    """
     if cfg.center:
         p = cfg.n_fft // 2
         audio = jnp.pad(audio, ((0, 0), (p, p)), mode=cfg.pad_mode)
-    idx = _frame_indices(audio.shape[-1], cfg.n_fft, cfg.hop_length)
+    n = audio.shape[-1]
+    hop = cfg.hop_length
+    if cfg.n_fft % hop == 0:
+        ratio = cfg.n_fft // hop
+        n_frames = 1 + (n - cfg.n_fft) // hop
+        n_chunks = n // hop
+        chunks = audio[:, : n_chunks * hop].reshape(audio.shape[0], n_chunks, hop)
+        parts = [chunks[:, i : i + n_frames, None, :] for i in range(ratio)]
+        return jnp.concatenate(parts, axis=2).reshape(
+            audio.shape[0], n_frames, cfg.n_fft
+        )
+    idx = _frame_indices(n, cfg.n_fft, hop)
     return audio[:, idx]
 
 
@@ -160,11 +179,16 @@ def spectrogram(
         mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     elif backend == "matmul":
         cos_b, sin_b = _dft_basis(cfg)
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         re = jnp.dot(
-            frames, jnp.asarray(cos_b, jnp.float32), preferred_element_type=jnp.float32
+            frames.astype(cdt),
+            jnp.asarray(cos_b, cdt),
+            preferred_element_type=jnp.float32,
         )
         im = jnp.dot(
-            frames, jnp.asarray(sin_b, jnp.float32), preferred_element_type=jnp.float32
+            frames.astype(cdt),
+            jnp.asarray(sin_b, cdt),
+            preferred_element_type=jnp.float32,
         )
         mag2 = re * re + im * im
     else:
