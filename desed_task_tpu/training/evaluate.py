@@ -1,0 +1,275 @@
+"""Validation / test harnesses: batched prediction + metric composition.
+
+Replaces the reference's validation_step / on_test_epoch_end machinery
+(2024 sed_trainer_pretrained.py:441-821, 828-1298): batched forward of
+student and teacher, vectorized decode (inference/decode.py), then the
+DCASE metric battery from our metrics package:
+
+  validation: weak multilabel macro-F1 @0.5 + DESED synth metric
+              (intersection-F1 / PSDS1) + MAESTRO segment metric
+              (best-F1 / mAUC / mpAUC), obj_metric = sum of the three
+              (sed_trainer_pretrained.py:742-776)
+  test:       PSDS1 + PSDS2 over 50 thresholds, collar/intersection F1,
+              MAESTRO overlap-added segment scores.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..data.batcher import collate
+from ..inference.decode import batched_decode_preds
+from ..inference.maestro import (
+    get_segment_scores_and_overlap_add,
+    merge_maestro_ground_truth,
+)
+from ..labels.encoder import ManyHotEncoder
+from ..metrics.event_based import event_based_metrics
+from ..metrics.psds import (
+    compute_per_intersection_macro_f1,
+    compute_psds_from_operating_points,
+)
+from ..metrics.segments import auroc, best_fscore
+
+
+def multilabel_f1_macro(
+    probs: np.ndarray, targets: np.ndarray, threshold: float = 0.5
+) -> float:
+    """torchmetrics MultilabelF1Score(average='macro') semantics."""
+    preds = np.asarray(probs) >= threshold
+    t = np.asarray(targets) > 0.5
+    tp = (preds & t).sum(0)
+    fp = (preds & ~t).sum(0)
+    fn = (~preds & t).sum(0)
+    denom = 2 * tp + fp + fn
+    f1 = np.where(denom > 0, 2 * tp / np.maximum(denom, 1), 0.0)
+    return float(f1.mean())
+
+
+def iterate_batches(dataset, batch_size: int):
+    items = []
+    for i in range(len(dataset)):
+        items.append(dataset[i])
+        if len(items) == batch_size:
+            yield collate(items)
+            items = []
+    if items:
+        yield collate(items)
+
+
+def predict_dataset(
+    predict_fn: Callable,
+    params,
+    stats,
+    dataset,
+    encoder: ManyHotEncoder,
+    batch_size: int = 24,
+    thresholds=(0.5,),
+    median_filter=None,
+    scaler=None,
+):
+    """Forward a dataset, decode. Returns (scores_raw, scores_post,
+    pred_dfs {th: DataFrame}, weak_probs [N, C], weak_targets [N, C])."""
+    scores_raw_all, scores_post_all = {}, {}
+    dfs_all = {th: [] for th in thresholds}
+    weak_probs, weak_targets = [], []
+    for batch in iterate_batches(dataset, batch_size):
+        audio = jnp.asarray(batch["audio"])
+        kwargs = {}
+        if "embeddings" in batch:
+            kwargs["embeddings"] = jnp.asarray(batch["embeddings"])
+        strong, weak = predict_fn(params, stats, audio, scaler=scaler, **kwargs)
+        filenames = batch.get(
+            "filename", [f"clip_{len(weak_probs)}_{i}" for i in range(len(audio))]
+        )
+        raw, post, dfs = batched_decode_preds(
+            np.asarray(strong),
+            filenames,
+            encoder,
+            thresholds=thresholds,
+            median_filter=median_filter,
+        )
+        scores_raw_all.update(raw)
+        scores_post_all.update(post)
+        for th in thresholds:
+            dfs_all[th].append(dfs[th])
+        weak_probs.append(np.asarray(weak))
+        weak_targets.append((np.asarray(batch["labels"]).sum(-1) > 0).astype(np.float32))
+    pred_dfs = {
+        th: (
+            pd.concat(v, ignore_index=True)
+            if v
+            else pd.DataFrame(columns=["event_label", "onset", "offset", "filename"])
+        )
+        for th, v in dfs_all.items()
+    }
+    return (
+        scores_raw_all,
+        scores_post_all,
+        pred_dfs,
+        np.concatenate(weak_probs) if weak_probs else np.zeros((0, 1)),
+        np.concatenate(weak_targets) if weak_targets else np.zeros((0, 1)),
+    )
+
+
+class SEDValidator:
+    """Composable validation callback for TrainLoop.
+
+    datasets: dict with optional keys
+      "weak":   dataset for clip-level F1
+      "synth":  dataset + "synth_gt" DataFrame + "synth_dur" DataFrame
+      "maestro": dataset (windowed clips) + "maestro_gt" clip-level events
+    """
+
+    def __init__(
+        self,
+        predict_fn,
+        encoder: ManyHotEncoder,
+        weak_set=None,
+        synth_set=None,
+        synth_gt: Optional[pd.DataFrame] = None,
+        synth_dur: Optional[pd.DataFrame] = None,
+        maestro_set=None,
+        maestro_gt: Optional[dict] = None,
+        maestro_classes: Optional[list] = None,
+        batch_size: int = 24,
+        median_filter=None,
+        obj_metric_synth_type: str = "intersection",
+        obj_metric_maestro_type: str = "fmo",
+        desed_classes: Optional[list] = None,
+        use_teacher: bool = False,
+    ):
+        self.predict_fn = predict_fn
+        self.encoder = encoder
+        self.weak_set = weak_set
+        self.synth_set = synth_set
+        self.synth_gt = synth_gt
+        self.synth_dur = synth_dur
+        self.maestro_set = maestro_set
+        self.maestro_gt = maestro_gt
+        self.maestro_classes = maestro_classes
+        self.batch_size = batch_size
+        self.median_filter = median_filter
+        self.obj_metric_synth_type = obj_metric_synth_type
+        self.obj_metric_maestro_type = obj_metric_maestro_type
+        self.desed_classes = desed_classes or encoder.labels
+        self.use_teacher = use_teacher
+
+    def _params(self, state):
+        if self.use_teacher:
+            return state.teacher_params, state.teacher_stats
+        return state.student_params, state.student_stats
+
+    def __call__(self, state, epoch: int):
+        params, stats = self._params(state)
+        scalars = {}
+        obj = 0.0
+
+        if self.weak_set is not None:
+            _, _, _, probs, targets = predict_dataset(
+                self.predict_fn, params, stats, self.weak_set, self.encoder,
+                self.batch_size, thresholds=(0.5,), scaler=state.scaler,
+            )
+            weak_f1 = multilabel_f1_macro(probs, targets)
+            scalars["val/weak/student/macro_F1"] = weak_f1
+            obj += weak_f1
+
+        if self.synth_set is not None and self.synth_gt is not None:
+            _, post, dfs, _, _ = predict_dataset(
+                self.predict_fn, params, stats, self.synth_set, self.encoder,
+                self.batch_size, thresholds=(0.5,),
+                median_filter=self.median_filter, scaler=state.scaler,
+            )
+            inter_f1 = compute_per_intersection_macro_f1(
+                dfs[0.5], self.synth_gt, self.synth_dur
+            )
+            scalars["val/synth/student/intersection_f1_macro"] = inter_f1
+            if self.obj_metric_synth_type == "intersection":
+                obj += inter_f1
+            elif self.obj_metric_synth_type == "collar":
+                res = event_based_metrics(self.synth_gt, dfs[0.5], self.desed_classes)
+                scalars["val/synth/student/event_f1_macro"] = res["macro_f_measure"]
+                obj += res["macro_f_measure"]
+            else:
+                raise NotImplementedError(self.obj_metric_synth_type)
+
+        if self.maestro_set is not None and self.maestro_gt is not None:
+            _, post, _, _, _ = predict_dataset(
+                self.predict_fn, params, stats, self.maestro_set, self.encoder,
+                self.batch_size, thresholds=(0.5,), scaler=state.scaler,
+            )
+            classes = self.maestro_classes or self.encoder.labels
+            gt = merge_maestro_ground_truth(self.maestro_gt)
+            durations = {
+                fid: max(off for _, off, _ in evs) if evs else 1.0
+                for fid, evs in gt.items()
+            }
+            seg_scores = get_segment_scores_and_overlap_add(
+                {k: v for k, v in post.items()}, durations, classes
+            )
+            seg_scores = {k: v for k, v in seg_scores.items() if k in gt}
+            gt_tuples = {
+                k: [(on, off, c) for on, off, c in gt[k]] for k in seg_scores
+            }
+            if self.obj_metric_maestro_type in ("fmo", "mpauc"):
+                res, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, classes)
+                scalars["val/maestro/student/segment_f1_best"] = res["macro_average"]
+                maestro_metric = res["macro_average"]
+            elif self.obj_metric_maestro_type == "mauc":
+                res, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, classes)
+                maestro_metric = res["mean"]
+                scalars["val/maestro/student/segment_mauc"] = maestro_metric
+            else:
+                raise NotImplementedError(self.obj_metric_maestro_type)
+            obj += maestro_metric
+
+        return obj, scalars
+
+
+def run_test(
+    predict_fn,
+    state,
+    test_set,
+    encoder: ManyHotEncoder,
+    test_gt: pd.DataFrame,
+    test_dur: pd.DataFrame,
+    batch_size: int = 24,
+    n_thresholds: int = 50,
+    median_filter=None,
+    use_teacher: bool = False,
+    desed_classes: Optional[list] = None,
+) -> dict:
+    """Full DESED test battery at 50 operating points + 0.5."""
+    params = state.teacher_params if use_teacher else state.student_params
+    stats = state.teacher_stats if use_teacher else state.student_stats
+    thresholds = list(np.arange(1 / (n_thresholds * 2), 1, 1 / n_thresholds)) + [0.5]
+    _, post, dfs, _, _ = predict_dataset(
+        predict_fn, params, stats, test_set, encoder, batch_size,
+        thresholds=thresholds, median_filter=median_filter, scaler=state.scaler,
+    )
+    ops = [dfs[th] for th in thresholds[:-1]]
+    psds1, _ = compute_psds_from_operating_points(
+        ops, test_gt, test_dur, dtc_threshold=0.7, gtc_threshold=0.7,
+        alpha_ct=0, alpha_st=1,
+    )
+    psds2, _ = compute_psds_from_operating_points(
+        ops, test_gt, test_dur, dtc_threshold=0.1, gtc_threshold=0.1,
+        cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1,
+    )
+    inter_f1 = compute_per_intersection_macro_f1(dfs[0.5], test_gt, test_dur)
+    classes = desed_classes or sorted(set(test_gt["event_label"].dropna()))
+    collar = event_based_metrics(test_gt, dfs[0.5], classes)
+    return {
+        "psds1": psds1,
+        "psds2": psds2,
+        "intersection_f1_macro": inter_f1,
+        "event_f1_macro": collar["macro_f_measure"],
+        "scores_postprocessed": post,
+        "prediction_dfs": dfs,
+    }

@@ -1,0 +1,131 @@
+"""Generic training loop: epochs, validation cadence, checkpointing,
+early stopping — the engine under every recipe entry point.
+
+Replaces the pl.Trainer wiring of the reference (train_pretrained.py:560-581:
+EarlyStopping + ModelCheckpoint on val/obj_metric, validation every N epochs,
+gradient accumulation) with an explicit loop around the jitted mean-teacher
+step. Host-side data feeding overlaps device execution naturally through
+JAX's async dispatch; batches are device_put with the mesh sharding up front.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..obs.checkpoint import CheckpointManager
+from ..obs.energy import EnergyTracker
+from ..obs.logging import MetricsLogger
+from ..parallel import shard_batch
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        step_fn: Callable,  # (state, batch, rng) -> (state, metrics)
+        state,
+        batcher,  # data.MultiSourceBatcher
+        n_epochs: int,
+        logger: MetricsLogger,
+        ckpt: Optional[CheckpointManager] = None,
+        validate_fn: Optional[Callable] = None,  # (state, epoch) -> (obj, scalars)
+        validation_interval: int = 10,
+        early_stop_patience: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        mesh=None,
+        log_every: int = 50,
+        energy: Optional[EnergyTracker] = None,
+        accumulate_batches: int = 1,
+    ):
+        self.step_fn = step_fn
+        self.state = state
+        self.batcher = batcher
+        self.n_epochs = n_epochs
+        self.logger = logger
+        self.ckpt = ckpt
+        self.validate_fn = validate_fn
+        self.validation_interval = validation_interval
+        self.early_stop_patience = early_stop_patience
+        self.rng = rng if rng is not None else jax.random.key(0)
+        self.mesh = mesh
+        self.log_every = log_every
+        self.energy = energy
+        self.accumulate_batches = accumulate_batches
+        self.best_obj = -np.inf
+        self.epochs_since_best = 0
+        self.start_epoch = 0
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
+    def resume(self, name: str = "last"):
+        """Restore state + loop counters from a checkpoint if present."""
+        if self.ckpt is not None and self.ckpt.exists(name):
+            self.state = self.ckpt.restore(name, template=self.state)
+            meta = self.ckpt.metadata(name)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_obj = float(meta.get("best_obj", -np.inf))
+            return True
+        return False
+
+    def run(self):
+        if self.energy:
+            self.energy.start()
+        step_count = 0
+        for epoch in range(self.start_epoch, self.n_epochs):
+            t0 = time.monotonic()
+            metrics = {}
+            for batch in self.batcher.epoch():
+                self.state, metrics = self.step_fn(
+                    self.state, self._put(batch), self.rng
+                )
+                step_count += 1
+                if step_count % self.log_every == 0:
+                    host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                    self.logger.log_scalars(step_count, host)
+            dt = time.monotonic() - t0
+            steps = max(self.batcher.steps_per_epoch, 1)
+            self.logger.log_scalars(
+                step_count,
+                {
+                    "train/epoch": epoch,
+                    "train/epoch_seconds": dt,
+                    "train/steps_per_sec": steps / dt,
+                },
+            )
+
+            is_val_epoch = (epoch + 1) % self.validation_interval == 0
+            if self.validate_fn is not None and is_val_epoch:
+                obj, scalars = self.validate_fn(self.state, epoch)
+                scalars = dict(scalars)
+                scalars["val/obj_metric"] = obj
+                self.logger.log_scalars(step_count, scalars)
+                if self.ckpt is not None:
+                    self.ckpt.save_if_best(
+                        self.state, obj, {"epoch": epoch, "best_obj": float(obj)}
+                    )
+                if obj > self.best_obj:
+                    self.best_obj = obj
+                    self.epochs_since_best = 0
+                else:
+                    self.epochs_since_best += self.validation_interval
+                if (
+                    self.early_stop_patience is not None
+                    and self.epochs_since_best >= self.early_stop_patience
+                ):
+                    break
+            if self.ckpt is not None:
+                self.ckpt.save(
+                    self.state,
+                    {"epoch": epoch, "best_obj": float(self.best_obj)},
+                    name="last",
+                )
+        if self.energy:
+            kwh = self.energy.stop()
+            self.logger.log_scalars(step_count, {"train/energy_kwh_estimate": kwh})
+        return self.state

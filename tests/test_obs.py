@@ -1,0 +1,67 @@
+"""Observability tests: checkpoint round-trip, logging, energy, MACs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desed_task_tpu.obs.checkpoint import CheckpointManager
+from desed_task_tpu.obs.energy import EnergyTracker
+from desed_task_tpu.obs.logging import MetricsLogger
+from desed_task_tpu.obs.macs import compiled_flops
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(state, {"epoch": 1})
+    assert mgr.exists("last")
+    restored = mgr.restore("last", template=state)
+    np.testing.assert_array_equal(restored["params"]["w"], np.arange(6).reshape(2, 3))
+    assert int(restored["step"]) == 7
+    assert mgr.metadata("last")["epoch"] == 1
+
+
+def test_checkpoint_best_tracking(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ckpt", mode="max")
+    s = {"x": jnp.zeros(2)}
+    assert mgr.save_if_best(s, 0.5)
+    assert not mgr.save_if_best(s, 0.4)
+    assert mgr.save_if_best({"x": jnp.ones(2)}, 0.9)
+    best = mgr.restore("best", template=s)
+    np.testing.assert_array_equal(best["x"], [1, 1])
+    assert mgr.metadata("best")["score"] == 0.9
+
+
+def test_metrics_logger(tmp_path):
+    lg = MetricsLogger(tmp_path / "logs", use_tensorboard=False)
+    lg.log_hparams({"training": {"lr": 1e-3}})
+    lg.log_scalars(1, {"train/loss": 0.5, "train/skip": "nan-string"})
+    lg.log_scalars(2, {"train/loss": 0.4})
+    lg.close()
+    text = (tmp_path / "logs" / "metrics.csv").read_text()
+    assert "train/loss" in text and "0.4" in text
+    assert (tmp_path / "logs" / "hparams.json").exists()
+
+
+def test_energy_tracker(tmp_path):
+    t = EnergyTracker("test", device_watts=3600000.0, host_watts=0.0, out_dir=tmp_path)
+    t.start()
+    import time
+
+    time.sleep(0.01)
+    kwh = t.stop()
+    assert kwh > 0
+    assert (tmp_path / "energy_test.json").exists()
+
+
+def test_compiled_flops_matmul():
+    a = jnp.zeros((64, 128))
+    b = jnp.zeros((128, 32))
+    cost = compiled_flops(lambda a, b: a @ b, a, b)
+    # 64*128*32*2 flops
+    assert cost["flops"] == pytest.approx(64 * 128 * 32 * 2, rel=0.1)

@@ -1,0 +1,162 @@
+"""End-to-end integration smoke test (fast_dev_run equivalent, SURVEY.md §4):
+tiny synthetic DESED-style data -> mean-teacher training with validation,
+checkpointing, early stopping, resume -> test battery. Exercises layers
+L2-L8 without any real data download."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from desed_task_tpu.data import MultiSourceBatcher, StronglyAnnotatedSet, UnlabeledSet, WeakSet, write_wav
+from desed_task_tpu.labels import ManyHotEncoder
+from desed_task_tpu.models import CRNN
+from desed_task_tpu.obs.checkpoint import CheckpointManager
+from desed_task_tpu.obs.logging import MetricsLogger
+from desed_task_tpu.training import (
+    MeanTeacherConfig,
+    SlotSpec,
+    create_state,
+    make_optimizer,
+    make_predict_step,
+    make_train_step,
+)
+from desed_task_tpu.training.evaluate import SEDValidator, multilabel_f1_macro, run_test
+from desed_task_tpu.training.loop import TrainLoop
+
+CLASSES = ["Speech", "Dog", "Cat"]
+ENC = ManyHotEncoder(CLASSES, 2, 2048, 256, 4, 16000)  # 2 s clips -> 31 frames
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(7)
+    rows = []
+    for sub, n in [("synth", 8), ("weak", 8), ("unlab", 8), ("val", 6)]:
+        (root / sub).mkdir()
+        for i in range(n):
+            x = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+            write_wav(root / sub / f"{sub}_{i}.wav", x, 16000)
+    synth_tsv = pd.DataFrame(
+        [(f"synth_{i}.wav", 0.2, 1.5, CLASSES[i % 3]) for i in range(8)],
+        columns=["filename", "onset", "offset", "event_label"],
+    )
+    weak_tsv = pd.DataFrame(
+        [(f"weak_{i}.wav", CLASSES[i % 3]) for i in range(8)],
+        columns=["filename", "event_labels"],
+    )
+    val_tsv = pd.DataFrame(
+        [(f"val_{i}.wav", 0.2, 1.5, CLASSES[i % 3]) for i in range(6)],
+        columns=["filename", "onset", "offset", "event_label"],
+    )
+    val_dur = pd.DataFrame(
+        [(f"val_{i}.wav", 2.0) for i in range(6)], columns=["filename", "duration"]
+    )
+    return root, synth_tsv, weak_tsv, val_tsv, val_dur
+
+
+def tiny_model():
+    return CRNN(
+        nclass=3,
+        n_RNN_cell=16,
+        n_layers_RNN=1,
+        kernel_size=[3, 3],
+        padding=[1, 1],
+        stride=[1, 1],
+        nb_filters=[8, 8],
+        pooling=[[2, 8], [2, 16]],
+        dropout=0.1,
+    )
+
+
+def test_full_training_pipeline(corpus, tmp_path):
+    root, synth_tsv, weak_tsv, val_tsv, val_dur = corpus
+    datasets = {
+        "synth": StronglyAnnotatedSet(root / "synth", synth_tsv, ENC, pad_to=2),
+        "weak": WeakSet(root / "weak", weak_tsv, ENC, pad_to=2),
+        "unlabeled": UnlabeledSet(root / "unlab", ENC, pad_to=2),
+    }
+    batcher = MultiSourceBatcher(
+        datasets, {"synth": 4, "weak": 4, "unlabeled": 4}, seed=0, num_workers=2
+    )
+    assert batcher.steps_per_epoch == 2
+
+    cfg = MeanTeacherConfig(
+        slots=(
+            SlotSpec("synth", 4, "strong"),
+            SlotSpec("weak", 4, "weak"),
+            SlotSpec("unlabeled", 4, "unlabeled"),
+        ),
+        mixup="soft",
+        mixup_groups=(("synth",), ("weak",)),
+        rampup_steps=10,
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    sample = next(iter(batcher.epoch(steps=1)))
+    state = create_state(model, cfg, tx, jax.random.key(0), sample)
+    step = jax.jit(make_train_step(model, cfg, tx, sched), donate_argnums=0)
+    predict = jax.jit(make_predict_step(model), static_argnames=())
+
+    val_set = StronglyAnnotatedSet(
+        root / "val", val_tsv, ENC, pad_to=2, test=True, return_filename=True
+    )
+    weak_val = WeakSet(root / "weak", weak_tsv, ENC, pad_to=2, test=True)
+    validator = SEDValidator(
+        predict,
+        ENC,
+        weak_set=weak_val,
+        synth_set=val_set,
+        synth_gt=val_tsv,
+        synth_dur=val_dur,
+        batch_size=4,
+        median_filter=[3, 3, 3],
+    )
+    logger = MetricsLogger(tmp_path / "logs", use_tensorboard=False)
+    ckpt = CheckpointManager(tmp_path / "ckpt")
+    loop = TrainLoop(
+        step,
+        state,
+        batcher,
+        n_epochs=2,
+        logger=logger,
+        ckpt=ckpt,
+        validate_fn=validator,
+        validation_interval=1,
+        rng=jax.random.key(1),
+        log_every=1,
+    )
+    final_state = loop.run()
+    assert int(jax.device_get(final_state.step)) == 4  # 2 epochs x 2 steps
+    assert ckpt.exists("last") and ckpt.exists("best")
+    text = (tmp_path / "logs" / "metrics.csv").read_text()
+    assert "val/obj_metric" in text and "train/loss" in text
+
+    # resume: counters restored, continues to epoch 3
+    loop2 = TrainLoop(
+        step, state, batcher, n_epochs=3, logger=logger, ckpt=ckpt,
+        rng=jax.random.key(1),
+    )
+    assert loop2.resume("last")
+    assert loop2.start_epoch == 2
+    s3 = loop2.run()
+    assert int(jax.device_get(s3.step)) == 6
+
+    # test battery on the tiny validation set
+    results = run_test(
+        predict, final_state, val_set, ENC, val_tsv, val_dur,
+        batch_size=4, n_thresholds=5, median_filter=[3, 3, 3],
+        desed_classes=CLASSES,
+    )
+    for k in ("psds1", "psds2", "intersection_f1_macro", "event_f1_macro"):
+        assert 0.0 <= results[k] <= 1.0
+    assert len(results["scores_postprocessed"]) == 6
+
+
+def test_multilabel_f1():
+    probs = np.array([[0.9, 0.1], [0.8, 0.7], [0.2, 0.6]])
+    targets = np.array([[1, 0], [1, 1], [0, 1]])
+    assert multilabel_f1_macro(probs, targets) == 1.0
+    assert multilabel_f1_macro(1 - probs, targets) == 0.0
