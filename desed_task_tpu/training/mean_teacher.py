@@ -149,18 +149,19 @@ def create_state(
     rng: jax.Array,
     sample_batch: dict,
     scaler: ScalerState | None = None,
+    mel_cfg: MelConfig = MelConfig(),
 ) -> MeanTeacherState:
     """Initialize student; teacher starts as an exact copy (reference
     deepcopies the student at init, train_pretrained.py:520-533)."""
     audio, labels, emb, cmask = _concat_batch(cfg, sample_batch)
-    feats = mel_spectrogram(audio, MelConfig())
+    feats = mel_spectrogram(audio, mel_cfg)
     kp, kd, ka = jax.random.split(rng, 3)
     kwargs = {}
     if emb is not None:
         kwargs["embeddings"] = emb
     variables = model.init(
         {"params": kp, "dropout": kd, "augment": ka},
-        amplitude_to_db(feats, MelConfig()),
+        amplitude_to_db(feats, mel_cfg),
         classes_mask=cmask,
         train=True,
         **kwargs,

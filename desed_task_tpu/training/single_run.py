@@ -1,0 +1,393 @@
+"""Config-driven end-to-end run: the engine behind every recipe CLI.
+
+Replaces the per-year single_run functions of the reference
+(recipes/dcase202X_task4_baseline/train_*.py:157-592): build encoder(s),
+datasets, fixed-slot batcher, CRNN, optimizer/scheduler, validator, train
+loop, then test from the best checkpoint. Driven by the same YAML section
+layout as the reference confs (training/data/opt/feats/net/scaler/pretrained).
+
+Slot composition is inferred from which data paths are configured:
+  [maestro?] [synth] [strong?] [weak] [unlabeled]
+with training.batch_size listing sizes for the present slots in that order
+(matching the reference convention, pretrained.yaml:8).
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..data import MultiSourceBatcher, StronglyAnnotatedSet, UnlabeledSet, WeakSet
+from ..labels.encoder import CatManyHotEncoder, ManyHotEncoder
+from ..models import CRNN
+from ..obs.checkpoint import CheckpointManager
+from ..obs.energy import EnergyTracker
+from ..obs.logging import MetricsLogger
+from ..obs.macs import macs_report
+from ..ops.frontend import MelConfig
+from ..ops.scaler import ScalerConfig, fit_scaler
+from ..utils.classes_dict import (
+    CLASSES_DESED,
+    CLASSES_MAESTRO_REAL,
+    MAESTRO_DESED_ALIAS,
+    process_tsvs,
+)
+from .evaluate import SEDValidator, run_test
+from .loop import TrainLoop
+from .mean_teacher import (
+    MeanTeacherConfig,
+    SlotSpec,
+    create_state,
+    make_optimizer,
+    make_predict_step,
+    make_train_step,
+)
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def build_encoder(config: dict) -> ManyHotEncoder:
+    data = config["data"]
+    feats = config["feats"]
+    desed = ManyHotEncoder(
+        list(CLASSES_DESED.keys()),
+        audio_len=data["audio_max_len"],
+        frame_len=feats["n_filters"],
+        frame_hop=feats["hop_length"],
+        net_pooling=data["net_subsample"],
+        fs=data["fs"],
+    )
+    if "real_maestro_train_tsv" in data:
+        maestro = ManyHotEncoder(
+            list(CLASSES_MAESTRO_REAL.keys()),
+            audio_len=data["audio_max_len"],
+            frame_len=feats["n_filters"],
+            frame_hop=feats["hop_length"],
+            net_pooling=data["net_subsample"],
+            fs=data["fs"],
+        )
+        return CatManyHotEncoder((desed, maestro))
+    return desed
+
+
+def mel_config(config: dict, fast: bool = False) -> MelConfig:
+    f = config["feats"]
+    return MelConfig(
+        sample_rate=f["sample_rate"],
+        n_fft=f["n_window"],
+        win_length=f["n_window"],
+        hop_length=f["hop_length"],
+        f_min=f["f_min"],
+        f_max=f["f_max"],
+        n_mels=f["n_mels"],
+        compute_dtype="bfloat16" if fast else "float32",
+    )
+
+
+def scaler_config(config: dict) -> ScalerConfig:
+    s = config.get("scaler", {})
+    return ScalerConfig(
+        statistic=s.get("statistic", "instance"),
+        normtype=s.get("normtype", "minmax"),
+        dims=tuple(s.get("dims", (1, 2))),
+    )
+
+
+def build_model(config: dict, fast: bool = False) -> CRNN:
+    net = dict(config["net"])
+    net.pop("median_filter", None)
+    pretrained = config.get("pretrained", {})
+    if pretrained and not net.get("use_embeddings", False):
+        pass
+    if fast:
+        net["compute_dtype"] = jnp.bfloat16
+    return CRNN(**net)
+
+
+def _emb_file(config, split_name):
+    pre = config.get("pretrained") or {}
+    d = pre.get("extracted_embeddings_dir")
+    if not d:
+        return None
+    path = Path(d) / pre.get("model", "beats") / f"{split_name}.hdf5"
+    return str(path) if path.exists() else None
+
+
+def build_train_datasets(config: dict, encoder) -> tuple[dict, dict, list[SlotSpec]]:
+    """Returns (datasets, batch_sizes, slot specs) for the present slots."""
+    data = config["data"]
+    emb_type = (config.get("net") or {}).get("embedding_type")
+    common = dict(
+        pad_to=data["audio_max_len"],
+        fs=data["fs"],
+        embedding_type=emb_type,
+    )
+    datasets: dict = {}
+    roles: list[tuple[str, str]] = []
+
+    if "real_maestro_train_folder" in data:
+        tsv = pd.read_csv(data["real_maestro_train_tsv"], sep="\t")
+        tsv = process_tsvs(tsv, MAESTRO_DESED_ALIAS)
+        valid = list(CLASSES_MAESTRO_REAL.keys()) + list(
+            set(MAESTRO_DESED_ALIAS.values())
+        )
+        datasets["maestro"] = StronglyAnnotatedSet(
+            data["real_maestro_train_folder"], tsv, encoder,
+            embeddings_hdf5_file=_emb_file(config, "maestro_real_train"),
+            mask_events_other_than=valid, **common,
+        )
+        roles.append(("maestro", "strong"))
+
+    synth_tsv = pd.read_csv(data["synth_tsv"], sep="\t")
+    desed_classes = list(CLASSES_DESED.keys())
+    datasets["synth"] = StronglyAnnotatedSet(
+        data["synth_folder"], synth_tsv, encoder,
+        embeddings_hdf5_file=_emb_file(config, "synth_train"),
+        mask_events_other_than=desed_classes if len(encoder.labels) > 10 else None,
+        **common,
+    )
+    roles.append(("synth", "strong"))
+
+    if "strong_tsv" in data and data.get("strong_folder"):
+        strong_tsv = pd.read_csv(data["strong_tsv"], sep="\t")
+        datasets["strong"] = StronglyAnnotatedSet(
+            data["strong_folder"], strong_tsv, encoder,
+            embeddings_hdf5_file=_emb_file(config, "strong_train"),
+            mask_events_other_than=desed_classes if len(encoder.labels) > 10 else None,
+            **common,
+        )
+        roles.append(("strong", "strong"))
+
+    weak_tsv = pd.read_csv(data["weak_tsv"], sep="\t")
+    # weak train/val split (train_pretrained.py:241-253)
+    split = config["training"].get("weak_split", 0.9)
+    rng = np.random.default_rng(config["training"].get("seed", 42))
+    perm = rng.permutation(len(weak_tsv))
+    n_train = int(len(weak_tsv) * split)
+    weak_train = weak_tsv.iloc[perm[:n_train]]
+    datasets["weak"] = WeakSet(
+        data["weak_folder"], weak_train, encoder,
+        embeddings_hdf5_file=_emb_file(config, "weak_train"),
+        mask_events_other_than=desed_classes if len(encoder.labels) > 10 else None,
+        **common,
+    )
+    roles.append(("weak", "weak"))
+
+    datasets["unlabeled"] = UnlabeledSet(
+        data["unlabeled_folder"], encoder,
+        embeddings_hdf5_file=_emb_file(config, "unlabeled_train"),
+        mask_events_other_than=desed_classes if len(encoder.labels) > 10 else None,
+        **common,
+    )
+    roles.append(("unlabeled", "unlabeled"))
+
+    batch_sizes_list = config["training"]["batch_size"]
+    assert len(batch_sizes_list) == len(roles), (
+        f"training.batch_size has {len(batch_sizes_list)} entries but "
+        f"{len(roles)} slots are configured: {[r[0] for r in roles]}"
+    )
+    batch_sizes = {name: bs for (name, _), bs in zip(roles, batch_sizes_list)}
+    slots = [
+        SlotSpec(name, batch_sizes[name], role) for (name, role) in roles
+    ]
+    # weak val set rides along for the validator
+    weak_val = WeakSet(
+        data["weak_folder"], weak_tsv.iloc[perm[n_train:]], encoder,
+        embeddings_hdf5_file=_emb_file(config, "weak_train"),
+        test=True, **common,
+    )
+    datasets["_weak_val"] = weak_val
+    return datasets, batch_sizes, slots
+
+
+def mean_teacher_config(config: dict, slots, steps_per_epoch: int) -> MeanTeacherConfig:
+    t = config["training"]
+    slot_names = [s.name for s in slots]
+    # mixup groups as in the reference: weak alone; synth+strong together;
+    # maestro alone (2024, sed_trainer_pretrained.py:349-363); 2021-2023:
+    # weak and synth(+strong) groups
+    groups = []
+    if "weak" in slot_names:
+        groups.append(("weak",))
+    strong_group = tuple(n for n in ("synth", "strong") if n in slot_names)
+    if strong_group:
+        groups.append(strong_group)
+    if "maestro" in slot_names:
+        groups.append(("maestro",))
+    consistency_start = 1 if "maestro" in slot_names else 0
+    decay = t.get("epoch_decay")
+    return MeanTeacherConfig(
+        slots=tuple(slots),
+        mixup=t.get("mixup"),
+        mixup_prob=t.get("mixup_prob", 0.5),
+        mixup_groups=tuple(groups),
+        const_max=t.get("const_max", 2.0),
+        self_sup_loss=t.get("self_sup_loss", "mse"),
+        consistency_start_slot=consistency_start,
+        rampup_steps=t.get("n_epochs_warmup", 50) * steps_per_epoch,
+        decay_steps=decay * steps_per_epoch if decay else None,
+        ema_factor=t.get("ema_factor", 0.999),
+    )
+
+
+def single_run(
+    config: dict,
+    log_dir: str,
+    checkpoint_resume: bool = False,
+    test_from_checkpoint: str | None = None,
+    fast_dev_run: bool = False,
+    evaluation: bool = False,
+    fast: bool = True,
+):
+    """Train (or test-only) one system. Returns (state, test_results)."""
+    t = config["training"]
+    key = seed_everything(t.get("seed", 42))
+    data = config["data"]
+
+    encoder = build_encoder(config)
+    model = build_model(config, fast=fast)
+    mel = mel_config(config, fast=fast)
+    scal = scaler_config(config)
+
+    datasets, batch_sizes, slots = build_train_datasets(config, encoder)
+    weak_val = datasets.pop("_weak_val")
+    batcher = MultiSourceBatcher(
+        datasets, batch_sizes,
+        seed=t.get("seed", 42),
+        num_workers=1 if fast_dev_run else t.get("num_workers", 6),
+    )
+    steps_per_epoch = 20 if fast_dev_run else batcher.steps_per_epoch
+    cfg = mean_teacher_config(config, slots, steps_per_epoch)
+
+    tx, sched = make_optimizer(
+        lr=config["opt"]["lr"],
+        rampup_steps=cfg.rampup_steps,
+        max_grad_norm=t.get("gradient_clip", 5.0),
+    )
+    sample = next(iter(batcher.epoch(steps=1)))
+    scaler_state = None
+    if scal.statistic == "dataset":
+        from ..ops.frontend import log_mel_spectrogram
+
+        def feats_of(b):
+            import jax.numpy as jnp
+
+            audio = np.concatenate([b[s.name]["audio"] for s in slots])
+            return np.asarray(log_mel_spectrogram(jnp.asarray(audio), mel))
+
+        scaler_state = fit_scaler(scal, batcher.epoch(steps=steps_per_epoch), feats_of)
+    state = create_state(model, cfg, tx, key, sample, scaler=scaler_state, mel_cfg=mel)
+    step_fn = jax.jit(
+        make_train_step(model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal),
+        donate_argnums=0,
+    )
+    predict_fn = jax.jit(make_predict_step(model, mel, scal))
+
+    print(macs_report(
+        lambda a: predict_fn(state.student_params, state.student_stats, a,
+                             embeddings=jnp.asarray(sample[slots[0].name]["embeddings"])[:1]
+                             if "embeddings" in sample[slots[0].name] else None),
+        jnp.asarray(sample[slots[0].name]["audio"])[:1],
+    ))
+
+    # validation sets
+    emb_type = (config.get("net") or {}).get("embedding_type")
+    synth_val = StronglyAnnotatedSet(
+        data["synth_val_folder"],
+        pd.read_csv(data["synth_val_tsv"], sep="\t"),
+        encoder,
+        pad_to=data["audio_max_len"], fs=data["fs"], test=True,
+        return_filename=True,
+        embeddings_hdf5_file=_emb_file(config, "synth_val"),
+        embedding_type=emb_type,
+    )
+    median = (config["net"] or {}).get("median_filter", 7)
+    if isinstance(median, int):
+        median = [median] * len(encoder.labels)
+    validator = SEDValidator(
+        predict_fn,
+        encoder,
+        weak_set=weak_val,
+        synth_set=synth_val,
+        synth_gt=pd.read_csv(data["synth_val_tsv"], sep="\t"),
+        synth_dur=pd.read_csv(data["synth_val_dur"], sep="\t")
+        if "synth_val_dur" in data
+        else None,
+        batch_size=t.get("batch_size_val", 24),
+        median_filter=median,
+        obj_metric_synth_type=t.get("obj_metric_synth_type", "intersection"),
+        desed_classes=list(CLASSES_DESED.keys()),
+    )
+
+    logger = MetricsLogger(log_dir)
+    logger.log_hparams(config)
+    ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
+    energy = EnergyTracker("train", n_devices=jax.device_count(), out_dir=log_dir)
+    loop = TrainLoop(
+        step_fn,
+        state,
+        batcher,
+        n_epochs=2 if fast_dev_run else t["n_epochs"],
+        logger=logger,
+        ckpt=ckpt,
+        validate_fn=validator,
+        validation_interval=1 if fast_dev_run else t.get("validation_interval", 10),
+        early_stop_patience=t.get("early_stop_patience"),
+        rng=jax.random.key(t.get("seed", 42) + 1),
+        energy=energy,
+    )
+
+    test_results = None
+    if test_from_checkpoint is not None:
+        mgr = CheckpointManager(test_from_checkpoint)
+        state = mgr.restore("best" if mgr.exists("best") else "last", template=state)
+    else:
+        if checkpoint_resume:
+            loop.resume("last")
+        state = loop.run()
+        if ckpt.exists("best"):
+            state = ckpt.restore("best", template=state)
+
+    if "test_folder" in data and not evaluation:
+        test_set = StronglyAnnotatedSet(
+            data["test_folder"],
+            pd.read_csv(data["test_tsv"], sep="\t"),
+            encoder,
+            pad_to=data["audio_max_len"], fs=data["fs"], test=True,
+            return_filename=True,
+            embeddings_hdf5_file=_emb_file(config, "devtest"),
+            embedding_type=emb_type,
+        )
+        test_results = run_test(
+            predict_fn,
+            state,
+            test_set,
+            encoder,
+            pd.read_csv(data["test_tsv"], sep="\t"),
+            pd.read_csv(data["test_dur"], sep="\t"),
+            batch_size=t.get("batch_size_val", 24),
+            n_thresholds=2 if fast_dev_run else t.get("n_test_thresholds", 50),
+            median_filter=median,
+            desed_classes=list(CLASSES_DESED.keys()),
+        )
+        logger.log_scalars(
+            0,
+            {
+                "test/student/psds1": test_results["psds1"],
+                "test/student/psds2": test_results["psds2"],
+                "test/student/intersection_f1_macro": test_results["intersection_f1_macro"],
+                "test/student/event_f1_macro": test_results["event_f1_macro"],
+            },
+        )
+    logger.close()
+    return state, test_results
