@@ -1,0 +1,148 @@
+"""Offline pretrained-embedding extraction -> HDF5.
+
+Replaces recipes/dcase202{2,3,4}_task4_baseline/extract_embeddings.py
+(:41-76): run the frozen embedder (BEATs / PANNs / AST, reimplemented in
+JAX) over wav folders and write an HDF5 store per split with datasets
+  global_embeddings [N, D], frame_embeddings [N, D_f, T_f], filenames [N]
+— the exact layout the reference datasets consume (dataio/datasets.py:217-232).
+
+The device forward is jitted once per (batch shape); audio decode runs in a
+thread pool overlapping the TPU compute.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_embedder(name: str, checkpoint: str | None = None):
+    """Returns (apply_fn(audio [B, N]) -> {"global", "frame"}, params)."""
+    if name == "beats":
+        from ..models.beats import BEATsConfig, BEATsModel
+
+        cfg_kwargs = {}
+        params = None
+        if checkpoint:
+            from ..models.torch_convert import load_beats_checkpoint
+
+            raw_cfg, enc_params = load_beats_checkpoint(checkpoint)
+            keep = {f.name for f in BEATsConfig.__dataclass_fields__.values()}
+            cfg_kwargs = {k: v for k, v in raw_cfg.items() if k in keep}
+            params = {"encoder": enc_params}
+        model = BEATsModel(BEATsConfig(**cfg_kwargs))
+        if params is None:
+            params = model.init(
+                jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
+            )["params"]
+        return model, {"params": params}
+    if name == "panns":
+        from ..models.panns import Cnn14_16k
+
+        model = Cnn14_16k()
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16000), jnp.float32))
+        # TODO torch checkpoint conversion for PANNs (convert_panns_state_dict)
+        return model, variables
+    if name == "ast":
+        from ..models.ast import ASTConfig, ASTModel
+
+        model = ASTModel(ASTConfig())
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 1024, 128), jnp.float32)
+        )
+        return model, variables
+    raise ValueError(f"unknown embedder {name!r} (beats|panns|ast)")
+
+
+def extract_folder(
+    model,
+    variables,
+    wav_files: list,
+    out_hdf5: str,
+    batch_size: int = 32,
+    pad_to: int = 160000,
+    num_workers: int = 6,
+    preprocess=None,  # e.g. kaldi fbank for AST
+):
+    """Run the embedder over wav files and write the HDF5 store."""
+    import h5py
+
+    from ..data.audio_io import read_audio
+
+    wav_files = [str(f) for f in wav_files]
+    if not wav_files:
+        raise ValueError("no wav files to extract")
+
+    @jax.jit
+    def forward(audio):
+        x = preprocess(audio) if preprocess is not None else audio
+        return model.apply(variables, x)
+
+    def load(path):
+        audio, *_ = read_audio(path, pad_to=pad_to, test=True)
+        return audio
+
+    first = forward(jnp.zeros((batch_size, pad_to), jnp.float32))
+    g_dim = first["global"].shape[-1]
+    f_shape = first["frame"].shape[1:]
+
+    with h5py.File(out_hdf5, "w") as f:
+        g_ds = f.create_dataset(
+            "global_embeddings", (len(wav_files), g_dim), dtype="float32"
+        )
+        f_ds = f.create_dataset(
+            "frame_embeddings", (len(wav_files), *f_shape), dtype="float32"
+        )
+        names = f.create_dataset(
+            "filenames", (len(wav_files),), dtype=h5py.string_dtype()
+        )
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for start in range(0, len(wav_files), batch_size):
+                chunk = wav_files[start : start + batch_size]
+                audio = np.stack(list(pool.map(load, chunk)))
+                if len(chunk) < batch_size:  # pad the final batch (static jit shape)
+                    audio = np.concatenate(
+                        [audio, np.zeros((batch_size - len(chunk), pad_to), np.float32)]
+                    )
+                out = forward(jnp.asarray(audio))
+                g = np.asarray(out["global"])[: len(chunk)]
+                fr = np.asarray(out["frame"])[: len(chunk)]
+                g_ds[start : start + len(chunk)] = g
+                f_ds[start : start + len(chunk)] = fr
+                for i, path in enumerate(chunk):
+                    names[start + i] = Path(path).stem
+    return out_hdf5
+
+
+def extract_splits(
+    embedder_name: str,
+    checkpoint: str | None,
+    split_folders: dict[str, str],
+    output_dir: str,
+    fs: int = 16000,
+    audio_len: float = 10.0,
+    batch_size: int = 32,
+):
+    """Extract every split folder into output_dir/<embedder>/<split>.hdf5."""
+    model, variables = build_embedder(embedder_name, checkpoint)
+    out_root = Path(output_dir) / embedder_name
+    out_root.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for split, folder in split_folders.items():
+        wavs = sorted(Path(folder).glob("*.wav"))
+        if not wavs:
+            print(f"[extract] {split}: no wavs in {folder}, skipping")
+            continue
+        out = out_root / f"{split}.hdf5"
+        print(f"[extract] {split}: {len(wavs)} files -> {out}")
+        extract_folder(
+            model, variables, wavs, str(out),
+            batch_size=batch_size, pad_to=int(audio_len * fs),
+        )
+        results[split] = str(out)
+    return results
