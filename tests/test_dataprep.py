@@ -1,0 +1,97 @@
+"""Data-prep tests: MAESTRO windowing/annotation re-clipping, HPO sampler."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from desed_task_tpu.data import read_wav, write_wav
+from desed_task_tpu.data.maestro_prep import (
+    clip_annotation,
+    get_chunk_indices,
+    prepare_maestro_folder,
+    split_long_file,
+    split_maestro_dev,
+)
+from desed_task_tpu.tools.hpo import run_study
+
+
+def test_chunk_indices():
+    # 35 s at fs=1: window 10, hop 5 -> starts 0,5,10,...,25 + final partial
+    idx = get_chunk_indices(35, 10, 5)
+    assert idx[0] == (0, 10) and idx[-1][1] == 35
+    assert all(e - s <= 10 for s, e in idx)
+    # exact fit leaves no partial
+    assert get_chunk_indices(20, 10, 5) == [(0, 10), (5, 15), (10, 20)]
+
+
+def test_clip_annotation():
+    events = [
+        {"onset": 2.0, "offset": 8.0, "event_label": "a"},
+        {"onset": 9.0, "offset": 15.0, "event_label": "b"},
+        {"onset": 20.0, "offset": 25.0, "event_label": "c"},
+    ]
+    out = clip_annotation(events, 5.0, 15.0)
+    assert [(e["event_label"], e["onset"], e["offset"]) for e in out] == [
+        ("a", 0.0, 3.0),
+        ("b", 4.0, 10.0),
+    ]
+
+
+def test_split_long_file_names(rng):
+    audio = rng.standard_normal(16000 * 25).astype(np.float32) * 0.1
+    events = [{"onset": 3.0, "offset": 12.0, "event_label": "x", "confidence": 1.0}]
+    chunks = list(split_long_file(audio, 16000, events, "file1", 10.0, 5.0))
+    names = [c[0] for c in chunks]
+    assert names[0] == "file1-000000-001000"
+    assert names[1] == "file1-000500-001500"
+    # the event at 3-12 s appears clipped in window 0 as 3-10
+    evs0 = chunks[0][2]
+    assert evs0[0]["onset"] == 3.0 and evs0[0]["offset"] == 10.0
+
+
+def test_prepare_maestro_folder(tmp_path, rng):
+    wav = tmp_path / "long.wav"
+    write_wav(wav, rng.standard_normal(16000 * 22).astype(np.float32) * 0.1, 16000)
+    ann = tmp_path / "long.txt"
+    ann.write_text("1.0\t5.0\tcar\t0.9\n15.0\t20.0\tfootsteps\t0.8\n")
+    out = tmp_path / "chunks"
+    tsv = prepare_maestro_folder([wav], [ann], out, window_len=10, hop_len=5)
+    assert len(list(out.glob("*.wav"))) >= 3
+    assert set(tsv["event_label"]) == {"car", "footsteps"}
+    a, _ = read_wav(next(iter(sorted(out.glob("*.wav")))))
+    assert len(a) == 160000
+
+
+def test_split_maestro_dev_deterministic():
+    files = [f"f{i}" for i in range(20)]
+    scenes = ["cafe"] * 10 + ["metro"] * 10
+    t1, v1 = split_maestro_dev(files, scenes, 0.9, seed=1)
+    t2, v2 = split_maestro_dev(files, scenes, 0.9, seed=1)
+    assert t1 == t2 and v1 == v2
+    assert len(t1) == 18 and len(v1) == 2
+    assert set(t1) | set(v1) == set(files)
+
+
+def test_hpo_random_search(tmp_path):
+    config = {
+        "training": {"gradient_clip": 5.0, "n_epochs_warmup": 50},
+        "opt": {"lr": 1e-3},
+        "net": {
+            "dropout": 0.5, "dropstep_recurrent": 0.0,
+            "dropstep_recurrent_len": 5, "n_RNN_cell": 128, "rnn_layers": 2,
+            "median_filter": [7, 7, 7],
+        },
+    }
+
+    def objective(cfg):
+        return -abs(cfg["opt"]["lr"] - 0.002)  # peak near lr=0.002
+
+    best = run_study(config, objective, 8, tmp_path / "study", mode="train")
+    assert best is not None and "lr" in best["params"]
+    # resume appends, doesn't redo
+    best2 = run_study(config, objective, 8, tmp_path / "study", mode="train")
+    lines = (tmp_path / "study" / "study_train.jsonl").read_text().splitlines()
+    assert len(lines) == 8
+
+    best_eval = run_study(config, lambda c: 1.0, 2, tmp_path / "study", mode="eval")
+    assert len(best_eval["params"]) == 3  # one median window per class
