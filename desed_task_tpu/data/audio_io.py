@@ -159,11 +159,26 @@ def read_audio(
     """Full load pipeline: decode -> (mono) -> (resample) -> pad/crop.
 
     Mirrors reference read_audio (datasets.py:60-75) + optional inline
-    resampling for convenience.
+    resampling for convenience. Uses the native C++ decoder (data/native.py)
+    for the common mono-downmix case when it is built; falls back to the
+    pure-Python RIFF parser otherwise.
     """
-    audio, fs = read_wav(path)
-    if not multisrc:
-        audio = to_mono(audio, random_channel)
+    if not multisrc and not random_channel:
+        from . import native
+
+        if native.available():
+            try:
+                audio, fs = native.decode(path)
+            except (ValueError, RuntimeError):
+                audio, fs = read_wav(path)
+                audio = to_mono(audio, random_channel)
+        else:
+            audio, fs = read_wav(path)
+            audio = to_mono(audio, random_channel)
+    else:
+        audio, fs = read_wav(path)
+        if not multisrc:
+            audio = to_mono(audio, random_channel)
     if target_fs is not None and fs != target_fs:
         audio = resample(audio, fs, target_fs)
         fs = target_fs
