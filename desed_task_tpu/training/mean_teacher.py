@@ -206,8 +206,18 @@ def make_train_step(
     schedule: ExponentialWarmup,
     mel_cfg: MelConfig = MelConfig(),
     scaler_cfg: ScalerConfig = ScalerConfig(),
+    embedder=None,
 ):
-    """Build the jittable train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jittable train step: (state, batch, rng) -> (state, metrics).
+
+    embedder: optional (apply_fn, variables) computing frozen pretrained
+    embeddings from raw audio INSIDE the jitted step (true e2e mode — the
+    reference's e2e flag raises NotImplementedError,
+    sed_trainer_pretrained.py:303-314). apply_fn(variables, audio) must
+    return {"frame": [B, E, T_e], ...}; gradients are stopped. Under a
+    ('data', 'model') mesh the embedder params may be tensor-parallel
+    sharded (parallel/tp.py).
+    """
 
     selfsup = SELF_SUP_LOSSES[cfg.self_sup_loss]
     strong_rng = cfg.role_range("strong")
@@ -245,6 +255,9 @@ def make_train_step(
         k_mix, k_gate, k_fs, k_noise, k_sd, k_sa, k_td, k_ta = jax.random.split(rng, 8)
 
         audio, labels, emb, cmask = _concat_batch(cfg, batch)
+        if embedder is not None and emb is None:
+            e_apply, e_vars = embedder
+            emb = jax.lax.stop_gradient(e_apply(e_vars, audio)["frame"])
         features = mel_spectrogram(audio, mel_cfg)  # linear mel (power=1)
 
         # optional in-graph augmentations (reference ops, unused by recipes)
