@@ -358,6 +358,30 @@ def single_run(
         if ckpt.exists("best"):
             state = ckpt.restore("best", template=state)
 
+    if evaluation and data.get("eval_folder") and Path(data["eval_folder"]).exists():
+        # label-free eval: dump raw + postprocessed score trees
+        # (reference on_test_epoch_end evaluation branch, :929-971)
+        from ..inference.io import write_sed_scores
+        from .evaluate import predict_dataset
+
+        eval_set = UnlabeledSet(
+            data["eval_folder"], encoder,
+            pad_to=data["audio_max_len"], fs=data["fs"], test=True,
+            return_filename=True,
+            embeddings_hdf5_file=_emb_file(config, "eval"),
+            embedding_type=emb_type,
+        )
+        raw, post, _, _, _ = predict_dataset(
+            predict_fn, state.student_params, state.student_stats,
+            eval_set, encoder, t.get("batch_size_val", 24),
+            thresholds=(0.5,), median_filter=median, scaler=state.scaler,
+        )
+        write_sed_scores(raw, Path(log_dir) / "eval_scores" / "student" / "raw")
+        write_sed_scores(
+            post, Path(log_dir) / "eval_scores" / "student" / "postprocessed"
+        )
+        print(f"eval scores written for {len(raw)} clips -> {log_dir}/eval_scores")
+
     if "test_folder" in data and not evaluation:
         test_set = StronglyAnnotatedSet(
             data["test_folder"],

@@ -150,3 +150,29 @@ def test_yaml_confs_parse():
         cfg = yaml.safe_load(p.read_text())
         assert "training" in cfg and "net" in cfg and "feats" in cfg, p
         assert isinstance(cfg["training"]["batch_size"], list), p
+
+
+def test_single_run_eval_mode_score_dump(corpus, tmp_path):
+    """--eval_from_checkpoint equivalent: label-free score tree dump."""
+    root = corpus
+    import numpy as np
+    from desed_task_tpu.data import write_wav
+
+    rng = np.random.default_rng(11)
+    (root / "eval").mkdir(exist_ok=True)
+    for i in range(3):
+        write_wav(root / "eval" / f"e{i}.wav",
+                  (rng.standard_normal(32000) * 0.1).astype(np.float32), 16000)
+    config = make_config(root)
+    config["data"]["eval_folder"] = str(root / "eval")
+    single_run(config, str(tmp_path / "train"), fast_dev_run=True, fast=False)
+    single_run(
+        config,
+        str(tmp_path / "eval"),
+        test_from_checkpoint=str(tmp_path / "train" / "checkpoints"),
+        evaluation=True,
+        fast_dev_run=True,
+        fast=False,
+    )
+    dumped = list((tmp_path / "eval" / "eval_scores" / "student" / "raw").glob("*.tsv"))
+    assert len(dumped) == 3
