@@ -208,6 +208,110 @@ def load_beats_checkpoint(ckpt_path: str):
     return cfg, params
 
 
+def convert_panns_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch Cnn14_16k state_dict -> models.panns.Cnn14_16k variables.
+
+    Skips the torchlibrosa STFT/mel buffers (we compute the front-end in
+    ops/frontend) and fc1 (unused by the embedding forward, models.py:266-274).
+    Returns {"params": ..., "batch_stats": ...}.
+    """
+    params: dict = {}
+    stats: dict = {}
+    bn_map = {"weight": "scale", "bias": "bias"}
+    for key, t in state_dict.items():
+        val = _np(t)
+        parts = key.split(".")
+        if parts[0] in ("spectrogram_extractor", "logmel_extractor", "spec_augmenter",
+                        "fc1", "fc_audioset"):
+            continue
+        if parts[0] == "bn0":
+            if parts[1] in bn_map:
+                _set(params, ("bn0", bn_map[parts[1]]), val)
+            elif parts[1] == "running_mean":
+                _set(stats, ("bn0", "mean"), val)
+            elif parts[1] == "running_var":
+                _set(stats, ("bn0", "var"), val)
+        elif parts[0].startswith("conv_block"):
+            block = parts[0]
+            mod = parts[1]  # conv1/conv2/bn1/bn2
+            leaf = parts[2]
+            if mod.startswith("conv"):
+                _set(params, (block, mod, "kernel"), val.transpose(2, 3, 1, 0))
+            elif mod.startswith("bn"):
+                if leaf in bn_map:
+                    _set(params, (block, mod, bn_map[leaf]), val)
+                elif leaf == "running_mean":
+                    _set(stats, (block, mod, "mean"), val)
+                elif leaf == "running_var":
+                    _set(stats, (block, mod, "var"), val)
+        else:
+            raise KeyError(f"unrecognized PANNs param {key!r}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_ast_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """torch ASTModel (timm DeiT wrapper) state_dict -> models.ast params.
+
+    Expects the audio-adapted checkpoint (patch proj already 1-channel with
+    the audio-grid pos_embed, ast_models.py:126-176).
+    """
+    params: dict = {}
+    for key, t in state_dict.items():
+        val = _np(t)
+        parts = key.split(".")
+        if parts[0] == "v":
+            parts = parts[1:]
+        if parts[0] == "cls_token":
+            _set(params, ("cls_token",), val)
+        elif parts[0] == "dist_token":
+            _set(params, ("dist_token",), val)
+        elif parts[0] == "pos_embed":
+            _set(params, ("pos_embed",), val)
+        elif parts[0] == "patch_embed":
+            if parts[-1] == "weight":  # [D, 1, 16, 16] -> [16, 16, 1, D]
+                _set(params, ("patch_proj", "kernel"), val.transpose(2, 3, 1, 0))
+            else:
+                _set(params, ("patch_proj", "bias"), val)
+        elif parts[0] == "blocks":
+            i = int(parts[1])
+            base = (f"block_{i}",)
+            sub = parts[2]
+            if sub in ("norm1", "norm2"):
+                name = {"weight": "scale", "bias": "bias"}[parts[3]]
+                _set(params, base + (sub, name), val)
+            elif sub == "attn":
+                mod = parts[3]  # qkv | proj
+                if parts[4] == "weight":
+                    _set(params, base + (mod, "kernel"), val.T)
+                else:
+                    _set(params, base + (mod, "bias"), val)
+            elif sub == "mlp":
+                mod = parts[3]  # fc1 | fc2
+                if parts[4] == "weight":
+                    _set(params, base + (mod, "kernel"), val.T)
+                else:
+                    _set(params, base + (mod, "bias"), val)
+            else:
+                raise KeyError(f"unrecognized AST block param {key!r}")
+        elif parts[0] == "norm":
+            name = {"weight": "scale", "bias": "bias"}[parts[1]]
+            _set(params, ("norm", name), val)
+        elif parts[0] == "mlp_head":
+            if parts[1] == "0":  # LayerNorm
+                name = {"weight": "scale", "bias": "bias"}[parts[2]]
+                _set(params, ("head_norm", name), val)
+            else:  # Linear
+                if parts[2] == "weight":
+                    _set(params, ("head", "kernel"), val.T)
+                else:
+                    _set(params, ("head", "bias"), val)
+        elif parts[0] in ("head", "head_dist", "pre_logits"):
+            continue  # timm classification heads unused
+        else:
+            raise KeyError(f"unrecognized AST param {key!r}")
+    return params
+
+
 def convert_gru_state_dict(state_dict: Mapping[str, Any], prefix: str = "") -> dict:
     """torch nn.GRU state_dict -> models.rnn.BidirectionalGRU params tree."""
     params: dict = {}

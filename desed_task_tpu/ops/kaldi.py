@@ -36,6 +36,17 @@ def povey_window(n: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * math.pi * t / (n - 1))) ** 0.85
 
 
+def kaldi_window(n: int, window_type: str = "povey") -> np.ndarray:
+    t = np.arange(n, dtype=np.float64)
+    if window_type == "povey":
+        return povey_window(n)
+    if window_type == "hanning":
+        return 0.5 - 0.5 * np.cos(2.0 * math.pi * t / (n - 1))
+    if window_type == "hamming":
+        return 0.54 - 0.46 * np.cos(2.0 * math.pi * t / (n - 1))
+    raise ValueError(f"unknown kaldi window {window_type!r}")
+
+
 def kaldi_mel_banks(
     num_bins: int,
     fft_len: int,
@@ -73,6 +84,7 @@ def kaldi_mel_banks(
         "preemphasis_coefficient",
         "remove_dc_offset",
         "use_power",
+        "window_type",
     ),
 )
 def kaldi_fbank(
@@ -84,6 +96,7 @@ def kaldi_fbank(
     preemphasis_coefficient: float = 0.97,
     remove_dc_offset: bool = True,
     use_power: bool = True,
+    window_type: str = "povey",
 ) -> jnp.ndarray:
     """[B, N] -> [B, n_frames, num_mel_bins] log-mel (natural log)."""
     squeeze = waveform.ndim == 1
@@ -102,7 +115,7 @@ def kaldi_fbank(
     if preemphasis_coefficient != 0.0:
         prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
         frames = frames - preemphasis_coefficient * prev
-    w = jnp.asarray(povey_window(win), jnp.float32)
+    w = jnp.asarray(kaldi_window(win, window_type), jnp.float32)
     frames = frames * w
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
@@ -125,3 +138,22 @@ def beats_preprocess(
     """BEATs front-end (BEATs.py:135-153): int16 scaling + fbank + norm."""
     fbank = kaldi_fbank(audio * (2.0**15))
     return (fbank - fbank_mean) / (2.0 * fbank_std)
+
+
+def ast_preprocess(
+    audio: jnp.ndarray,  # [B, N] float waveform
+    target_length: int = 1024,
+    audioset_mean: float = -4.2677393,
+    audioset_std: float = 4.5689974,
+) -> jnp.ndarray:
+    """AST front-end (2022 train_pretrained.py:105-137): DC removal ->
+    hanning kaldi fbank (128 bins, 10 ms shift) -> pad to 1024 frames ->
+    AudioSet mean/std normalization. Returns [B, target_length, 128]."""
+    audio = audio - audio.mean(-1, keepdims=True)
+    fbank = kaldi_fbank(audio, window_type="hanning")
+    t = fbank.shape[-2]
+    if t < target_length:
+        fbank = jnp.pad(fbank, ((0, 0), (0, target_length - t), (0, 0)))
+    else:
+        fbank = fbank[:, :target_length]
+    return (fbank - audioset_mean) / (audioset_std * 2.0)

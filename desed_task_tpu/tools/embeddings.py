@@ -45,16 +45,35 @@ def build_embedder(name: str, checkpoint: str | None = None):
         from ..models.panns import Cnn14_16k
 
         model = Cnn14_16k()
-        variables = model.init(jax.random.key(0), jnp.zeros((1, 16000), jnp.float32))
-        # TODO torch checkpoint conversion for PANNs (convert_panns_state_dict)
+        if checkpoint:
+            import torch
+
+            from ..models.torch_convert import convert_panns_state_dict
+
+            ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+            sd = ckpt.get("model", ckpt)
+            variables = convert_panns_state_dict(sd)
+        else:
+            variables = model.init(
+                jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
+            )
         return model, variables
     if name == "ast":
         from ..models.ast import ASTConfig, ASTModel
 
         model = ASTModel(ASTConfig())
-        variables = model.init(
-            jax.random.key(0), jnp.zeros((1, 1024, 128), jnp.float32)
-        )
+        if checkpoint:
+            import torch
+
+            from ..models.torch_convert import convert_ast_state_dict
+
+            ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+            sd = ckpt.get("model", ckpt)
+            variables = {"params": convert_ast_state_dict(sd)}
+        else:
+            variables = model.init(
+                jax.random.key(0), jnp.zeros((1, 1024, 128), jnp.float32)
+            )
         return model, variables
     raise ValueError(f"unknown embedder {name!r} (beats|panns|ast)")
 
@@ -130,6 +149,11 @@ def extract_splits(
 ):
     """Extract every split folder into output_dir/<embedder>/<split>.hdf5."""
     model, variables = build_embedder(embedder_name, checkpoint)
+    preprocess = None
+    if embedder_name == "ast":
+        from ..ops.kaldi import ast_preprocess
+
+        preprocess = ast_preprocess
     out_root = Path(output_dir) / embedder_name
     out_root.mkdir(parents=True, exist_ok=True)
     results = {}
@@ -143,6 +167,7 @@ def extract_splits(
         extract_folder(
             model, variables, wavs, str(out),
             batch_size=batch_size, pad_to=int(audio_len * fs),
+            preprocess=preprocess,
         )
         results[split] = str(out)
     return results
