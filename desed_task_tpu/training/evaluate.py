@@ -144,6 +144,7 @@ class SEDValidator:
         obj_metric_maestro_type: str = "fmo",
         desed_classes: Optional[list] = None,
         use_teacher: bool = False,
+        log_teacher: bool = True,
     ):
         self.predict_fn = predict_fn
         self.encoder = encoder
@@ -160,14 +161,10 @@ class SEDValidator:
         self.obj_metric_maestro_type = obj_metric_maestro_type
         self.desed_classes = desed_classes or encoder.labels
         self.use_teacher = use_teacher
+        self.log_teacher = log_teacher
 
-    def _params(self, state):
-        if self.use_teacher:
-            return state.teacher_params, state.teacher_stats
-        return state.student_params, state.student_stats
-
-    def __call__(self, state, epoch: int):
-        params, stats = self._params(state)
+    def _evaluate_one(self, state, params, stats, tag: str):
+        """Full metric pass for one model (student or teacher)."""
         scalars = {}
         obj = 0.0
 
@@ -177,7 +174,7 @@ class SEDValidator:
                 self.batch_size, thresholds=(0.5,), scaler=state.scaler,
             )
             weak_f1 = multilabel_f1_macro(probs, targets)
-            scalars["val/weak/student/macro_F1"] = weak_f1
+            scalars[f"val/weak/{tag}/macro_F1"] = weak_f1
             obj += weak_f1
 
         if self.synth_set is not None and self.synth_gt is not None:
@@ -189,12 +186,12 @@ class SEDValidator:
             inter_f1 = compute_per_intersection_macro_f1(
                 dfs[0.5], self.synth_gt, self.synth_dur
             )
-            scalars["val/synth/student/intersection_f1_macro"] = inter_f1
+            scalars[f"val/synth/{tag}/intersection_f1_macro"] = inter_f1
             if self.obj_metric_synth_type == "intersection":
                 obj += inter_f1
             elif self.obj_metric_synth_type == "collar":
                 res = event_based_metrics(self.synth_gt, dfs[0.5], self.desed_classes)
-                scalars["val/synth/student/event_f1_macro"] = res["macro_f_measure"]
+                scalars[f"val/synth/{tag}/event_f1_macro"] = res["macro_f_measure"]
                 obj += res["macro_f_measure"]
             else:
                 raise NotImplementedError(self.obj_metric_synth_type)
@@ -219,16 +216,34 @@ class SEDValidator:
             }
             if self.obj_metric_maestro_type in ("fmo", "mpauc"):
                 res, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, classes)
-                scalars["val/maestro/student/segment_f1_best"] = res["macro_average"]
+                scalars[f"val/maestro/{tag}/segment_f1_best"] = res["macro_average"]
                 maestro_metric = res["macro_average"]
+                res_p, _ = auroc(
+                    seg_scores, gt_tuples, durations, 1.0, 0.1, classes
+                )
+                scalars[f"val/maestro/{tag}/segment_mpauc"] = res_p["mean"]
             elif self.obj_metric_maestro_type == "mauc":
                 res, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, classes)
                 maestro_metric = res["mean"]
-                scalars["val/maestro/student/segment_mauc"] = maestro_metric
+                scalars[f"val/maestro/{tag}/segment_mauc"] = maestro_metric
             else:
                 raise NotImplementedError(self.obj_metric_maestro_type)
             obj += maestro_metric
 
+        return obj, scalars
+
+    def __call__(self, state, epoch: int):
+        obj, scalars = self._evaluate_one(
+            state, state.student_params, state.student_stats, "student"
+        )
+        if self.log_teacher:
+            t_obj, t_scalars = self._evaluate_one(
+                state, state.teacher_params, state.teacher_stats, "teacher"
+            )
+            scalars.update(t_scalars)
+            scalars["val/teacher/obj_metric"] = t_obj
+            if self.use_teacher:
+                obj = t_obj
         return obj, scalars
 
 
