@@ -80,6 +80,36 @@ def build_encoder(config: dict) -> ManyHotEncoder:
     return desed
 
 
+MAESTRO_SCENES = (
+    "cafe_restaurant",
+    "city_center",
+    "grocery_store",
+    "metro_station",
+    "residential_area",
+)
+
+
+def split_maestro(config: dict, maestro_dev_df: pd.DataFrame):
+    """Seeded per-scene file-level 90/10 split of MAESTRO dev windows
+    (train_pretrained.py:97-154). Window filenames are
+    {scene}_{idx}-{onset}-{offset}.wav; the split is over file ids."""
+    rng = np.random.RandomState(config["training"].get("seed", 42))
+    split_f = config["training"].get("maestro_split", 0.9)
+    train_parts, valid_parts = [], []
+    file_ids = maestro_dev_df["filename"].apply(lambda x: x.split("-")[0])
+    scenes = file_ids.apply(lambda x: "_".join(x.split("_")[:-1]))
+    for scene_name in MAESTRO_SCENES:
+        filenames = np.asarray(file_ids[scenes == scene_name].unique(), dtype=object)
+        rng.shuffle(filenames)
+        pivot = int(split_f * len(filenames))
+        train_parts.append(maestro_dev_df[file_ids.isin(filenames[:pivot])])
+        valid_parts.append(maestro_dev_df[file_ids.isin(filenames[pivot:])])
+    return (
+        pd.concat(train_parts, ignore_index=True),
+        pd.concat(valid_parts, ignore_index=True),
+    )
+
+
 def mel_config(config: dict, fast: bool = False) -> MelConfig:
     f = config["feats"]
     return MelConfig(
@@ -135,8 +165,10 @@ def build_train_datasets(config: dict, encoder) -> tuple[dict, dict, list[SlotSp
     datasets: dict = {}
     roles: list[tuple[str, str]] = []
 
+    maestro_val_tsv = None
     if "real_maestro_train_folder" in data:
         tsv = pd.read_csv(data["real_maestro_train_tsv"], sep="\t")
+        tsv, maestro_val_tsv = split_maestro(config, tsv)
         tsv = process_tsvs(tsv, MAESTRO_DESED_ALIAS)
         valid = list(CLASSES_MAESTRO_REAL.keys()) + list(
             set(MAESTRO_DESED_ALIAS.values())
@@ -200,6 +232,8 @@ def build_train_datasets(config: dict, encoder) -> tuple[dict, dict, list[SlotSp
     slots = [
         SlotSpec(name, batch_sizes[name], role) for (name, role) in roles
     ]
+    if maestro_val_tsv is not None and len(maestro_val_tsv):
+        datasets["_maestro_val_tsv"] = maestro_val_tsv
     # weak val set rides along for the validator
     weak_val = WeakSet(
         data["weak_folder"], weak_tsv.iloc[perm[n_train:]], encoder,
@@ -261,6 +295,7 @@ def single_run(
 
     datasets, batch_sizes, slots = build_train_datasets(config, encoder)
     weak_val = datasets.pop("_weak_val")
+    maestro_val_tsv = datasets.pop("_maestro_val_tsv", None)
     batcher = MultiSourceBatcher(
         datasets, batch_sizes,
         seed=t.get("seed", 42),
@@ -314,11 +349,36 @@ def single_run(
     median = (config["net"] or {}).get("median_filter", 7)
     if isinstance(median, int):
         median = [median] * len(encoder.labels)
+    maestro_val_set = None
+    maestro_gt = None
+    maestro_classes = None
+    if maestro_val_tsv is not None:
+        from ..inference.io import read_ground_truth_events
+        from ..utils.classes_dict import CLASSES_MAESTRO_REAL_EVAL
+
+        conf_filter = maestro_val_tsv[
+            maestro_val_tsv.get("confidence", pd.Series(1.0, index=maestro_val_tsv.index)) > 0.5
+        ] if "confidence" in maestro_val_tsv.columns else maestro_val_tsv
+        eval_rows = conf_filter[
+            conf_filter["event_label"].isin(CLASSES_MAESTRO_REAL_EVAL)
+        ]
+        maestro_gt = read_ground_truth_events(eval_rows)
+        maestro_classes = sorted(CLASSES_MAESTRO_REAL_EVAL)
+        maestro_val_set = StronglyAnnotatedSet(
+            data["real_maestro_train_folder"], maestro_val_tsv, encoder,
+            pad_to=data["audio_max_len"], fs=data["fs"], test=True,
+            return_filename=True,
+            embeddings_hdf5_file=_emb_file(config, "maestro_real_train"),
+            embedding_type=emb_type,
+        )
     validator = SEDValidator(
         predict_fn,
         encoder,
         weak_set=weak_val,
         synth_set=synth_val,
+        maestro_set=maestro_val_set,
+        maestro_gt=maestro_gt,
+        maestro_classes=maestro_classes,
         synth_gt=pd.read_csv(data["synth_val_tsv"], sep="\t"),
         synth_dur=pd.read_csv(data["synth_val_dur"], sep="\t")
         if "synth_val_dur" in data

@@ -176,3 +176,48 @@ def test_single_run_eval_mode_score_dump(corpus, tmp_path):
     )
     dumped = list((tmp_path / "eval" / "eval_scores" / "student" / "raw").glob("*.tsv"))
     assert len(dumped) == 3
+
+
+def test_single_run_2024_style_with_maestro(corpus, tmp_path):
+    """5-slot 2024-style run: maestro + synth + strong + weak + unlabeled,
+    with the per-scene maestro split and maestro validation metrics."""
+    root = corpus
+    rng = np.random.default_rng(21)
+    m_dir = root / "maestro"
+    if not m_dir.exists():
+        m_dir.mkdir()
+        rows = []
+        for scene in ["cafe_restaurant", "city_center"]:
+            for fidx in range(3):
+                for onset in [0, 100]:  # two 2 s windows in centiseconds
+                    name = f"{scene}_{fidx:02d}-{onset:06d}-{onset+200:06d}"
+                    write_wav(
+                        m_dir / f"{name}.wav",
+                        (rng.standard_normal(32000) * 0.1).astype(np.float32),
+                        16000,
+                    )
+                    rows.append(
+                        (f"{name}.wav", 0.3, 1.2, "people talking", 0.9)
+                    )
+                    rows.append((f"{name}.wav", 0.5, 1.8, "footsteps", 0.8))
+        pd.DataFrame(
+            rows,
+            columns=["filename", "onset", "offset", "event_label", "confidence"],
+        ).to_csv(root / "meta" / "maestro.tsv", sep="\t", index=False)
+
+    config = make_config(root)
+    config["data"]["real_maestro_train_folder"] = str(m_dir)
+    config["data"]["real_maestro_train_tsv"] = str(root / "meta" / "maestro.tsv")
+    # strong slot reuses the synth fixtures
+    config["data"]["strong_folder"] = str(root / "synth")
+    config["data"]["strong_tsv"] = str(root / "meta" / "synth.tsv")
+    config["training"]["batch_size"] = [2, 2, 2, 2, 2]
+    config["training"]["maestro_split"] = 0.7
+    config["net"]["nclass"] = 27
+    state, results = single_run(
+        config, str(tmp_path / "exp24"), fast_dev_run=True, fast=False
+    )
+    assert results is not None
+    text = (tmp_path / "exp24" / "metrics.csv").read_text()
+    assert "val/maestro/student/segment_f1_best" in text
+    assert "val/teacher/obj_metric" in text
