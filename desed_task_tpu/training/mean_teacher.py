@@ -207,8 +207,13 @@ def make_train_step(
     mel_cfg: MelConfig = MelConfig(),
     scaler_cfg: ScalerConfig = ScalerConfig(),
     embedder=None,
+    axis_name: str | None = None,
 ):
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
+
+    axis_name: set (e.g. "data") when the step body runs under shard_map —
+    gradients, metrics, and BN batch-stats updates are psum-averaged over
+    that axis so the replicated state stays identical on every device.
 
     embedder: optional (apply_fn, variables) computing frozen pretrained
     embeddings from raw audio INSIDE the jitted step (true e2e mode — the
@@ -252,6 +257,9 @@ def make_train_step(
 
     def train_step(state: MeanTeacherState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            # decorrelate per-device randomness (dropout, mixup, masks)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         k_mix, k_gate, k_fs, k_noise, k_sd, k_sa, k_td, k_ta = jax.random.split(rng, 8)
 
         audio, labels, emb, cmask = _concat_batch(cfg, batch)
@@ -343,6 +351,12 @@ def make_train_step(
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.student_params
         )
+        new_t_stats_synced = new_t_stats
+        new_s_stats = aux["new_stats"]
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_s_stats = jax.lax.pmean(new_s_stats, axis_name)
+            new_t_stats_synced = jax.lax.pmean(new_t_stats, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.student_params)
         new_student = optax.apply_updates(state.student_params, updates)
 
@@ -359,10 +373,15 @@ def make_train_step(
             step=state.step + 1,
             student_params=new_student,
             teacher_params=new_teacher,
-            student_stats=aux["new_stats"],
-            teacher_stats=new_t_stats,
+            student_stats=new_s_stats,
+            teacher_stats=new_t_stats_synced,
             opt_state=new_opt,
         )
+        if axis_name is not None:
+            total = jax.lax.pmean(total, axis_name)
+            aux = jax.lax.pmean(
+                {k: v for k, v in aux.items() if k != "new_stats"}, axis_name
+            ) | {"new_stats": None}
         metrics = {
             "loss": total,
             "loss_strong": aux["loss_strong"],
@@ -406,3 +425,56 @@ def make_predict_step(
         )
 
     return predict
+
+
+def make_train_step_sharded(
+    model,
+    cfg: MeanTeacherConfig,
+    optimizer: optax.GradientTransformation,
+    schedule: ExponentialWarmup,
+    mesh,
+    sample_batch: dict,
+    mel_cfg: MelConfig = MelConfig(),
+    scaler_cfg: ScalerConfig = ScalerConfig(),
+    embedder=None,
+    axis: str = "data",
+):
+    """shard_map train step: every tensor stays device-local; the only
+    cross-device traffic is the gradient / metric / BN-stats pmean.
+
+    The plain jit step lets XLA reshard the slot-concatenated batch (measured:
+    ~40 all-to-alls + ~47 collective-permutes per step on an 8-way mesh);
+    here each device holds its own slot-structured mini-batch, so cfg.slots
+    sizes must be divisible by the data-axis size.
+
+    Semantics differences vs the global-batch step (documented): mixup pairs
+    within each device's shard, and loss means are per-shard then averaged
+    (equal shard sizes => identical value).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_data = mesh.shape[axis]
+    for s in cfg.slots:
+        assert s.size % n_data == 0, (
+            f"slot {s.name} size {s.size} not divisible by data axis {n_data}"
+        )
+    local_cfg = dataclasses.replace(
+        cfg,
+        slots=tuple(
+            dataclasses.replace(s, size=s.size // n_data) for s in cfg.slots
+        ),
+    )
+    inner = make_train_step(
+        model, local_cfg, optimizer, schedule, mel_cfg, scaler_cfg,
+        embedder=embedder, axis_name=axis,
+    )
+    batch_specs = jax.tree_util.tree_map(lambda _: P(axis), sample_batch)
+    mapped = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=0)

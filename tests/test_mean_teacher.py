@@ -158,3 +158,26 @@ def test_predict_step_eval_mode(rng):
     # deterministic (no dropout in eval)
     strong2, _ = predict(state.student_params, state.student_stats, audio)
     np.testing.assert_array_equal(out, np.asarray(strong2))
+
+
+def test_sharded_step_matches_jit_collective_count(rng):
+    """shard_map step runs on the 8-way mesh and trains; its compiled HLO has
+    no all-to-all resharding (only pmean all-reduces)."""
+    import re
+
+    from desed_task_tpu.training.mean_teacher import make_train_step_sharded
+
+    mesh = make_mesh({"data": 8})
+    cfg = tiny_cfg(sizes=(8, 8, 16))
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=50)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    state = jax.device_put(state, replicate(mesh))
+    sbatch = shard_batch(batch, mesh)
+    step = make_train_step_sharded(model, cfg, tx, sched, mesh, batch)
+    hlo = step.lower(state, sbatch, jax.random.key(1)).compile().as_text()
+    assert len(re.findall("all-to-all", hlo)) == 0
+    state, metrics = step(state, sbatch, jax.random.key(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    assert int(jax.device_get(state.step)) == 1
