@@ -259,8 +259,12 @@ def run_test(
     median_filter=None,
     use_teacher: bool = False,
     desed_classes: Optional[list] = None,
+    maestro_set=None,
+    maestro_gt: Optional[dict] = None,
+    maestro_classes: Optional[list] = None,
 ) -> dict:
-    """Full DESED test battery at 50 operating points + 0.5."""
+    """Full DESED test battery at 50 operating points + 0.5; optional MAESTRO
+    long-form overlap-add segment metrics (on_test_epoch_end:1192-1222)."""
     params = state.teacher_params if use_teacher else state.student_params
     stats = state.teacher_stats if use_teacher else state.student_stats
     thresholds = list(np.arange(1 / (n_thresholds * 2), 1, 1 / n_thresholds)) + [0.5]
@@ -280,7 +284,7 @@ def run_test(
     inter_f1 = compute_per_intersection_macro_f1(dfs[0.5], test_gt, test_dur)
     classes = desed_classes or sorted(set(test_gt["event_label"].dropna()))
     collar = event_based_metrics(test_gt, dfs[0.5], classes)
-    return {
+    results = {
         "psds1": psds1,
         "psds2": psds2,
         "intersection_f1_macro": inter_f1,
@@ -288,3 +292,24 @@ def run_test(
         "scores_postprocessed": post,
         "prediction_dfs": dfs,
     }
+    if maestro_set is not None and maestro_gt is not None:
+        _, m_post, _, _, _ = predict_dataset(
+            predict_fn, params, stats, maestro_set, encoder, batch_size,
+            thresholds=(0.5,), scaler=state.scaler,
+        )
+        m_classes = maestro_classes or encoder.labels
+        gt = merge_maestro_ground_truth(maestro_gt)
+        durations = {
+            fid: max(off for _, off, _ in evs) if evs else 1.0
+            for fid, evs in gt.items()
+        }
+        seg_scores = get_segment_scores_and_overlap_add(m_post, durations, m_classes)
+        seg_scores = {k: v for k, v in seg_scores.items() if k in gt}
+        gt_tuples = {k: [(a, b, c) for a, b, c in gt[k]] for k in seg_scores}
+        mauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, m_classes)
+        mpauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, 0.1, m_classes)
+        bf, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, m_classes)
+        results["maestro_segment_mauc"] = mauc["mean"]
+        results["maestro_segment_mpauc"] = mpauc["mean"]
+        results["maestro_segment_f1_best"] = bf["macro_average"]
+    return results
