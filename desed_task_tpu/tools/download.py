@@ -1,0 +1,31 @@
+"""Streaming HTTP download utility (replacement for desed_task/utils/
+download.py:1-24). Gated: raises a clear error in zero-egress environments."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def download_from_url(url: str, destination, chunk_size: int = 1 << 20) -> str:
+    import requests
+
+    destination = Path(destination)
+    destination.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        with requests.get(url, stream=True, timeout=30) as r:
+            r.raise_for_status()
+            total = int(r.headers.get("content-length", 0))
+            done = 0
+            with open(destination, "wb") as f:
+                for chunk in r.iter_content(chunk_size=chunk_size):
+                    f.write(chunk)
+                    done += len(chunk)
+                    if total:
+                        print(f"\r{destination.name}: {done/total:6.1%}", end="")
+            print()
+    except requests.RequestException as e:
+        raise RuntimeError(
+            f"download of {url} failed ({e}); this environment may have no "
+            "network egress — fetch the file manually"
+        ) from e
+    return str(destination)

@@ -198,3 +198,37 @@ def test_crnn_train_mode_runs_with_rngs(rng):
     )
     assert strong.shape[0] == 2 and np.isfinite(np.asarray(strong)).all()
     assert "batch_stats" in updates
+
+
+def test_bilstm_matches_torch_lstm(rng):
+    """BidirectionalLSTM (RNN.py:33-53 parity): BiLSTM(h//2 per direction)
+    followed by a linear embedding."""
+    from desed_task_tpu.models import BidirectionalLSTM
+    from desed_task_tpu.models.torch_convert import _np
+
+    torch.manual_seed(3)
+    B, T, IN, H, OUT = 2, 9, 6, 8, 5
+    ref_rnn = torch.nn.LSTM(IN, H // 2, bidirectional=True, batch_first=True)
+    ref_fc = torch.nn.Linear(H, OUT)
+    x = rng.standard_normal((B, T, IN)).astype(np.float32)
+    with torch.no_grad():
+        rec, _ = ref_rnn(torch.from_numpy(x))
+        ref_out = ref_fc(rec).numpy()
+    model = BidirectionalLSTM(hidden=H, n_out=OUT, num_layers=1)
+    params = {
+        "l0_fwd": {
+            "weight_ih": _np(ref_rnn.weight_ih_l0),
+            "weight_hh": _np(ref_rnn.weight_hh_l0),
+            "bias_ih": _np(ref_rnn.bias_ih_l0),
+            "bias_hh": _np(ref_rnn.bias_hh_l0),
+        },
+        "l0_bwd": {
+            "weight_ih": _np(ref_rnn.weight_ih_l0_reverse),
+            "weight_hh": _np(ref_rnn.weight_hh_l0_reverse),
+            "bias_ih": _np(ref_rnn.bias_ih_l0_reverse),
+            "bias_hh": _np(ref_rnn.bias_hh_l0_reverse),
+        },
+        "Dense_0": {"kernel": _np(ref_fc.weight).T, "bias": _np(ref_fc.bias)},
+    }
+    out = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
