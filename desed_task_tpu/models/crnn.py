@@ -85,6 +85,8 @@ class CRNN(nn.Module):
     # computation dtype for the CNN stack (bf16 on TPU; fp32 default keeps
     # bit-parity with the reference). The RNN and heads stay fp32.
     compute_dtype: Any = None
+    # inference-only folded conv paths (see models/cnn.py)
+    fold_small_freq: bool = False
 
     @property
     def _n_layers(self) -> int:
@@ -134,6 +136,7 @@ class CRNN(nn.Module):
             pooling=self.pooling,
             normalization=self.normalization,
             dtype=self.compute_dtype,
+            fold_small_freq=self.fold_small_freq,
             name="cnn",
         )(x, train=bn_train)
         x = x.astype(jnp.float32)
