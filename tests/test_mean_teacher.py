@@ -181,3 +181,41 @@ def test_sharded_step_matches_jit_collective_count(rng):
     state, metrics = step(state, sbatch, jax.random.key(1))
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
     assert int(jax.device_get(state.step)) == 1
+
+
+def test_e2e_embedder_in_train_step(rng):
+    """True e2e mode: frozen BEATs computes embeddings inside the jitted step
+    (the reference's e2e flag is NotImplementedError there)."""
+    from desed_task_tpu.models.beats import BEATsConfig, BEATsModel
+
+    beats_cfg = BEATsConfig(
+        encoder_layers=1, encoder_embed_dim=32, embed_dim=16,
+        encoder_ffn_embed_dim=32, encoder_attention_heads=2,
+        conv_pos=8, conv_pos_groups=2, num_buckets=16, max_distance=32,
+    )
+    embedder = BEATsModel(beats_cfg)
+    e_vars = embedder.init(jax.random.key(5), jnp.zeros((1, 32000), jnp.float32))
+    emb_frames = embedder.apply(e_vars, jnp.zeros((1, 32000)))["frame"].shape[-1]
+
+    cfg = tiny_cfg()
+    model = CRNN(
+        nclass=N_CLASS, n_RNN_cell=16, n_layers_RNN=1, kernel_size=[3, 3],
+        padding=[1, 1], stride=[1, 1], nb_filters=[8, 8],
+        pooling=[[2, 8], [2, 16]], dropout=0.1,
+        use_embeddings=True, embedding_size=32, aggregation_type="pool1d",
+    )
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=50)
+    batch = make_batch(cfg, rng)
+    init_batch = {
+        k: dict(v, embeddings=np.zeros((v["audio"].shape[0], 32, emb_frames), np.float32))
+        for k, v in batch.items()
+    }
+    state = create_state(model, cfg, tx, jax.random.key(0), init_batch)
+    step = jax.jit(
+        make_train_step(model, cfg, tx, sched, embedder=(embedder.apply, e_vars))
+    )
+    state, metrics = step(state, batch, jax.random.key(1))  # batch WITHOUT embeddings
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen embedder: gradient must not touch its params (they're closed over)
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert int(state.step) == 2
