@@ -212,3 +212,41 @@ class UnlabeledSet(_BaseSet):
             "padded_ratio": np.float32(padded),
         }
         return self._finalize(out, ex["path"])
+
+
+class SeparatedSet(_BaseSet):
+    """Clips with pre-separated sources (2021 separation recipe): for each
+    base clip `X.wav` the separation runner writes `X_src{i}.wav`; items are
+    stacked [n_src, N] arrays plus the base clip's labels (sepsed_trainer.py
+    consumes features [bs, n_src, mels, frames])."""
+
+    def __init__(
+        self, separated_folder, base_dataset: _BaseSet, n_src: int = 4, **kwargs
+    ):
+        self.base = base_dataset
+        self.separated_folder = Path(separated_folder)
+        self.n_src = n_src
+        self.encoder = base_dataset.encoder
+        self.fs = base_dataset.fs
+        self.pad_to = base_dataset.pad_to
+        self.test = base_dataset.test
+        self.examples_list = base_dataset.examples_list
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, item):
+        out = dict(self.base[item])
+        stem = Path(self.base.examples[self.base.examples_list[item]]["path"]).stem
+        sources = []
+        for i in range(self.n_src):
+            src_path = self.separated_folder / f"{stem}_src{i}.wav"
+            if src_path.exists():
+                audio, *_ = read_audio(
+                    str(src_path), pad_to=self.pad_to, test=True
+                )
+            else:
+                audio = np.zeros(self.pad_to, np.float32)
+            sources.append(audio)
+        out["sources"] = np.stack(sources)  # [n_src, N]
+        return out

@@ -168,3 +168,25 @@ def test_batcher_sharding(fixture_dir):
     assert full.steps_per_epoch == 7
     assert shard0.steps_per_epoch == 4  # ceil(7/2)
     assert shard1.steps_per_epoch == 3
+
+
+def test_separated_set(fixture_dir, tmp_path):
+    from desed_task_tpu.data.datasets import SeparatedSet
+
+    tsv = pd.DataFrame(
+        [("strong_0.wav", 0.5, 2.0, "Speech"), ("strong_1.wav", 1.0, 2.0, "Dog")],
+        columns=["filename", "onset", "offset", "event_label"],
+    )
+    base = StronglyAnnotatedSet(fixture_dir / "strong", tsv, ENC, test=True)
+    sep_dir = tmp_path / "sep"
+    sep_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):  # only 2 of 4 sources exist -> rest are silence
+        x = (rng.standard_normal(160000) * 0.1).astype(np.float32)
+        write_wav(sep_dir / f"strong_0_src{i}.wav", x, 16000)
+    ds = SeparatedSet(sep_dir, base, n_src=4)
+    item = ds[0]
+    assert item["sources"].shape == (4, 160000)
+    assert np.abs(item["sources"][0]).max() > 0
+    assert (item["sources"][2] == 0).all()
+    assert item["labels"].shape == (3, 156)
