@@ -80,16 +80,30 @@ def predict_dataset(
     dfs_all = {th: [] for th in thresholds}
     weak_probs, weak_targets = [], []
     for batch in iterate_batches(dataset, batch_size):
-        audio = jnp.asarray(batch["audio"])
+        n_real = len(batch["audio"])
+        audio = np.asarray(batch["audio"])
+        if n_real < batch_size:  # pad to the static jit shape (one compile)
+            audio = np.concatenate(
+                [audio, np.zeros((batch_size - n_real, audio.shape[1]), audio.dtype)]
+            )
         kwargs = {}
         if "embeddings" in batch:
-            kwargs["embeddings"] = jnp.asarray(batch["embeddings"])
-        strong, weak = predict_fn(params, stats, audio, scaler=scaler, **kwargs)
+            emb = np.asarray(batch["embeddings"])
+            if n_real < batch_size:
+                emb = np.concatenate(
+                    [emb, np.zeros((batch_size - n_real, *emb.shape[1:]), emb.dtype)]
+                )
+            kwargs["embeddings"] = jnp.asarray(emb)
+        strong, weak = predict_fn(
+            params, stats, jnp.asarray(audio), scaler=scaler, **kwargs
+        )
+        strong = np.asarray(strong)[:n_real]
+        weak = np.asarray(weak)[:n_real]
         filenames = batch.get(
-            "filename", [f"clip_{len(weak_probs)}_{i}" for i in range(len(audio))]
+            "filename", [f"clip_{len(weak_probs)}_{i}" for i in range(n_real)]
         )
         raw, post, dfs = batched_decode_preds(
-            np.asarray(strong),
+            strong,
             filenames,
             encoder,
             thresholds=thresholds,

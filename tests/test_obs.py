@@ -65,3 +65,17 @@ def test_compiled_flops_matmul():
     cost = compiled_flops(lambda a, b: a @ b, a, b)
     # 64*128*32*2 flops
     assert cost["flops"] == pytest.approx(64 * 128 * 32 * 2, rel=0.1)
+
+
+def test_macs_close_to_published_2023():
+    """Analytic XLA cost vs the published THOP count for the 2023 CRNN on
+    10 s audio (930.902 MMACs, 2023 README:226). Counting conventions differ
+    (THOP includes BN/pool elementwise MACs); agree within 15%."""
+    from desed_task_tpu.recipes_config import crnn_2023
+
+    model = crnn_2023()
+    x = jnp.zeros((1, 128, 626), jnp.float32)
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    cost = compiled_flops(lambda x: model.apply(v, x, train=False), x)
+    mmacs = cost["macs"] / 1e6
+    assert 930.902 * 0.85 <= mmacs <= 930.902 * 1.15, mmacs
