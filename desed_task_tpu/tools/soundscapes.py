@@ -62,7 +62,9 @@ class SoundscapeGenerator:
                 wavs = sorted(class_dir.glob("*.wav"))
                 if wavs:
                     self.fg[class_dir.name] = wavs
-        self.bg = sorted(Path(bg_folder).glob("*.wav")) if bg_folder else []
+        self.bg = (
+            sorted(Path(bg_folder).glob("*.wav")) if bg_folder is not None else []
+        )
         if not self.fg:
             raise ValueError(f"no foreground classes found under {fg_folder}")
 
