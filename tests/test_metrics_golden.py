@@ -121,3 +121,22 @@ def test_psds_monotone_and_bounded(gt, durations, op_tables):
     assert (tpr >= 0).all() and (tpr <= 1).all()
     val = ev.psds(op_tables[:10], alpha_st=1.0)
     assert 0.0 <= val <= 1.0
+
+
+def test_perfect_predictions_saturate_metrics(gt, durations):
+    """Feeding the ground truth as predictions must saturate every metric:
+    an end-to-end sanity check of the whole scoring stack."""
+    preds = gt.copy()
+    classes = sorted(set(gt["event_label"].dropna()))
+    res = event_based_metrics(gt, preds, classes)
+    assert res["macro_f_measure"] == pytest.approx(1.0)
+    seg = segment_based_metrics(gt, preds, classes)
+    assert seg["macro_f_measure"] == pytest.approx(1.0)
+    inter = compute_per_intersection_macro_f1(preds, gt, durations)
+    assert inter == pytest.approx(1.0)
+    # PSDS with the single perfect OP: TPR=1 at eFPR=0 -> area = 1 - alpha_st*0
+    val, _ = compute_psds_from_operating_points(
+        [preds], gt, durations, dtc_threshold=0.7, gtc_threshold=0.7,
+        alpha_ct=0, alpha_st=1,
+    )
+    assert val == pytest.approx(1.0, abs=1e-6)
