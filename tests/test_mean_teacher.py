@@ -219,3 +219,22 @@ def test_e2e_embedder_in_train_step(rng):
     # frozen embedder: gradient must not touch its params (they're closed over)
     state, metrics = step(state, batch, jax.random.key(1))
     assert int(state.step) == 2
+
+
+def test_2021_style_config_runs(rng):
+    """2021 semantics: consistency over the whole batch, weak targets derived
+    pre-mixup and soft-mixed directly (weak_labels_post_mixup=False)."""
+    from desed_task_tpu.recipes_config import mean_teacher_2021
+
+    cfg = mean_teacher_2021(batch_sizes=(4, 4, 8), steps_per_epoch=5)
+    assert cfg.consistency_start_slot == 0
+    assert not cfg.weak_labels_post_mixup
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    step = jax.jit(make_train_step(model, cfg, tx, sched))
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 3
