@@ -192,6 +192,44 @@ class PSDSEval:
         return float(np.sum(np.diff(x) * y[:-1]))
 
 
+def plot_psd_roc(
+    ev: "PSDSEval",
+    operating_points,
+    alpha_ct: float = 0.0,
+    alpha_st: float = 0.0,
+    max_efpr: float = 100.0,
+    filename=None,
+    title: str = "PSD-ROC",
+):
+    """Save the (effective) PSD-ROC curve like the reference
+    (evaluation_measures.py:231-253, 285-303). Returns the figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grid, tpr = ev.psd_roc(operating_points, alpha_ct)
+    mu = tpr.mean(0)
+    sigma = tpr.std(0)
+    etpr = np.maximum(mu - alpha_st * sigma, 0.0)
+    fig, ax = plt.subplots(figsize=(7, 7))
+    keep = grid <= max_efpr
+    ax.step(grid[keep], etpr[keep], where="post", label="eTPR (mean - a_st*std)")
+    ax.step(grid[keep], mu[keep], where="post", alpha=0.5, label="mean TPR")
+    for c, name in enumerate(ev.class_names):
+        ax.step(grid[keep], tpr[c][keep], where="post", alpha=0.25, lw=0.7)
+    ax.set_xlabel("eFPR (per hour)")
+    ax.set_ylabel("eTPR")
+    ax.set_xlim(0, max_efpr)
+    ax.set_ylim(0, 1)
+    ax.legend()
+    ax.set_title(title)
+    if filename is not None:
+        fig.savefig(filename, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def compute_psds_from_operating_points(
     prediction_dfs: dict | list,
     ground_truth: pd.DataFrame,

@@ -273,6 +273,7 @@ def run_test(
     median_filter=None,
     use_teacher: bool = False,
     desed_classes: Optional[list] = None,
+    save_dir=None,
     maestro_set=None,
     maestro_gt: Optional[dict] = None,
     maestro_classes: Optional[list] = None,
@@ -287,14 +288,25 @@ def run_test(
         thresholds=thresholds, median_filter=median_filter, scaler=state.scaler,
     )
     ops = [dfs[th] for th in thresholds[:-1]]
-    psds1, _ = compute_psds_from_operating_points(
+    psds1, ev1 = compute_psds_from_operating_points(
         ops, test_gt, test_dur, dtc_threshold=0.7, gtc_threshold=0.7,
         alpha_ct=0, alpha_st=1,
     )
-    psds2, _ = compute_psds_from_operating_points(
+    psds2, ev2 = compute_psds_from_operating_points(
         ops, test_gt, test_dur, dtc_threshold=0.1, gtc_threshold=0.1,
         cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1,
     )
+    if save_dir is not None:
+        from pathlib import Path as _P
+
+        from ..metrics.psds import plot_psd_roc
+
+        d = _P(save_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        plot_psd_roc(ev1, ops, 0, 1, filename=d / "PSDS_scenario1_roc.png",
+                     title=f"PSDS scenario 1 = {psds1:.4f}")
+        plot_psd_roc(ev2, ops, 0.5, 1, filename=d / "PSDS_scenario2_roc.png",
+                     title=f"PSDS scenario 2 = {psds2:.4f}")
     inter_f1 = compute_per_intersection_macro_f1(dfs[0.5], test_gt, test_dur)
     classes = desed_classes or sorted(set(test_gt["event_label"].dropna()))
     collar = event_based_metrics(test_gt, dfs[0.5], classes)

@@ -452,6 +452,32 @@ def single_run(
             embeddings_hdf5_file=_emb_file(config, "devtest"),
             embedding_type=emb_type,
         )
+        maestro_test_kwargs = {}
+        if (
+            data.get("real_maestro_val_folder")
+            and data.get("real_maestro_val_tsv")
+            and Path(data["real_maestro_val_folder"]).exists()
+        ):
+            from ..inference.io import read_ground_truth_events
+            from ..utils.classes_dict import CLASSES_MAESTRO_REAL_EVAL
+
+            m_tsv = pd.read_csv(data["real_maestro_val_tsv"], sep="\t")
+            if "confidence" in m_tsv.columns:
+                m_tsv = m_tsv[m_tsv.confidence > 0.5]
+            m_tsv = m_tsv[m_tsv["event_label"].isin(CLASSES_MAESTRO_REAL_EVAL)]
+            maestro_test_kwargs = dict(
+                maestro_set=StronglyAnnotatedSet(
+                    data["real_maestro_val_folder"],
+                    pd.read_csv(data["real_maestro_val_tsv"], sep="\t"),
+                    encoder,
+                    pad_to=data["audio_max_len"], fs=data["fs"], test=True,
+                    return_filename=True,
+                    embeddings_hdf5_file=_emb_file(config, "maestro_real_val"),
+                    embedding_type=emb_type,
+                ),
+                maestro_gt=read_ground_truth_events(m_tsv),
+                maestro_classes=sorted(CLASSES_MAESTRO_REAL_EVAL),
+            )
         test_results = run_test(
             predict_fn,
             state,
@@ -463,6 +489,7 @@ def single_run(
             n_thresholds=2 if fast_dev_run else t.get("n_test_thresholds", 50),
             median_filter=median,
             desed_classes=list(CLASSES_DESED.keys()),
+            **maestro_test_kwargs,
         )
         logger.log_scalars(
             0,
