@@ -489,6 +489,7 @@ def single_run(
             n_thresholds=2 if fast_dev_run else t.get("n_test_thresholds", 50),
             median_filter=median,
             desed_classes=list(CLASSES_DESED.keys()),
+            save_dir=Path(log_dir) / "figures",
             **maestro_test_kwargs,
         )
         logger.log_scalars(

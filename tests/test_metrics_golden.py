@@ -140,3 +140,12 @@ def test_perfect_predictions_saturate_metrics(gt, durations):
         alpha_ct=0, alpha_st=1,
     )
     assert val == pytest.approx(1.0, abs=1e-6)
+
+
+def test_psd_roc_plot_saves(gt, durations, op_tables, tmp_path):
+    from desed_task_tpu.metrics.psds import PSDSEval, plot_psd_roc
+
+    ev = PSDSEval(gt, durations, dtc_threshold=0.7, gtc_threshold=0.7)
+    out = tmp_path / "roc.png"
+    plot_psd_roc(ev, op_tables[:5], 0, 1, filename=out)
+    assert out.exists() and out.stat().st_size > 5000
