@@ -47,6 +47,7 @@ from .mean_teacher import (
     make_optimizer,
     make_predict_step,
     make_train_step,
+    make_train_step_sharded,
 )
 
 
@@ -322,10 +323,23 @@ def single_run(
 
         scaler_state = fit_scaler(scal, batcher.epoch(steps=steps_per_epoch), feats_of)
     state = create_state(model, cfg, tx, key, sample, scaler=scaler_state, mel_cfg=mel)
-    step_fn = jax.jit(
-        make_train_step(model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal),
-        donate_argnums=0,
-    )
+    mesh = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and all(s.size % n_dev == 0 for s in cfg.slots):
+        # multi-chip: batches shard over a data mesh; the shard_map step keeps
+        # every tensor device-local (zero resharding collectives)
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh({"data": n_dev})
+        state = jax.device_put(state, replicate(mesh))
+        step_fn = make_train_step_sharded(
+            model, cfg, tx, sched, mesh, sample, mel_cfg=mel, scaler_cfg=scal
+        )
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal),
+            donate_argnums=0,
+        )
     predict_fn = jax.jit(make_predict_step(model, mel, scal))
 
     print(macs_report(
@@ -397,6 +411,7 @@ def single_run(
         step_fn,
         state,
         batcher,
+        mesh=mesh,
         n_epochs=2 if fast_dev_run else t["n_epochs"],
         logger=logger,
         ckpt=ckpt,

@@ -221,3 +221,16 @@ def test_single_run_2024_style_with_maestro(corpus, tmp_path):
     text = (tmp_path / "exp24" / "metrics.csv").read_text()
     assert "val/maestro/student/segment_f1_best" in text
     assert "val/teacher/obj_metric" in text
+
+
+def test_single_run_sharded_multidevice(corpus, tmp_path):
+    """Slot sizes divisible by the 8 virtual devices -> single_run picks the
+    shard_map step and trains data-parallel."""
+    config = make_config(corpus)
+    config["training"]["batch_size"] = [8, 8, 8]  # divisible by 8 devices
+    # fast_dev_run uses 20 steps/epoch regardless of dataset size, wrapping
+    # the tiny corpus
+    state, results = single_run(
+        config, str(tmp_path / "exp_dp"), fast_dev_run=True, fast=False
+    )
+    assert results is not None
