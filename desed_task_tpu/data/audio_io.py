@@ -16,7 +16,6 @@ from __future__ import annotations
 import math
 import random
 import struct
-from pathlib import Path
 
 import numpy as np
 

@@ -19,7 +19,6 @@ per-process handle (datasets.py:167-185).
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 
 import numpy as np

@@ -14,7 +14,6 @@ Outputs match batched_decode_preds' contract (per-threshold event DataFrames
 
 from __future__ import annotations
 
-import functools
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 

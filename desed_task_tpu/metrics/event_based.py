@@ -20,7 +20,6 @@ from collections import defaultdict
 import numpy as np
 import pandas as pd
 
-from .matching import matching_size
 
 
 def _per_file(df: pd.DataFrame) -> dict[str, list[tuple[str, float, float]]]:

@@ -15,7 +15,7 @@ DCASE metric battery from our metrics package:
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import numpy as np
 import pandas as pd

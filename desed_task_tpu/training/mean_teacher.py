@@ -31,7 +31,7 @@ axis 0 and XLA inserts the gradient psum automatically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
