@@ -29,3 +29,30 @@ def download_from_url(url: str, destination, chunk_size: int = 1 << 20) -> str:
             "network egress — fetch the file manually"
         ) from e
     return str(destination)
+
+
+def generate_tsv_wav_durations(audio_dir, out_tsv) -> "pd.DataFrame":
+    """Write a filename/duration tsv for a folder of wavs (parity with
+    recipes/*/local/utils.py generate_tsv_wav_durations :204), using the
+    native header reader when built."""
+    import pandas as pd
+
+    from ..data import native
+    from ..data.audio_io import read_wav
+
+    rows = []
+    for wav in sorted(Path(audio_dir).glob("*.wav")):
+        if native.available():
+            try:
+                rate, _, frames = native.info(wav)
+                rows.append((wav.name, frames / rate))
+                continue
+            except (ValueError, RuntimeError):
+                pass
+        audio, rate = read_wav(wav)
+        n = audio.shape[-1]
+        rows.append((wav.name, n / rate))
+    df = pd.DataFrame(rows, columns=["filename", "duration"])
+    Path(out_tsv).parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_tsv, sep="\t", index=False)
+    return df

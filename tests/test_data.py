@@ -190,3 +190,12 @@ def test_separated_set(fixture_dir, tmp_path):
     assert np.abs(item["sources"][0]).max() > 0
     assert (item["sources"][2] == 0).all()
     assert item["labels"].shape == (3, 156)
+
+
+def test_generate_tsv_wav_durations(fixture_dir, tmp_path):
+    from desed_task_tpu.tools.download import generate_tsv_wav_durations
+
+    df = generate_tsv_wav_durations(fixture_dir / "unlab", tmp_path / "dur.tsv")
+    assert len(df) == 7
+    np.testing.assert_allclose(df["duration"], 8.0, atol=1e-3)
+    assert (tmp_path / "dur.tsv").exists()
