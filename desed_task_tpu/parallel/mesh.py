@@ -41,17 +41,19 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a (nested) batch pytree with axis-0 sharding over `axis`.
+def shard_batch(batch, mesh: Mesh, axis: str = "data", batch_axis: int = 0):
+    """Device-put a (nested) batch pytree sharded over `axis` on dim
+    `batch_axis` (0 normally; 1 when a leading micro-batch axis is present
+    for gradient accumulation).
 
     Scalars / 0-d leaves are replicated.
     """
-    sharded = batch_sharding(mesh, axis)
+    sharded = NamedSharding(mesh, P(*([None] * batch_axis), axis))
     repl = replicate(mesh)
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim <= batch_axis:
             return jax.device_put(x, repl)
         return jax.device_put(x, sharded)
 

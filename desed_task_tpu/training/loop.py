@@ -58,10 +58,31 @@ class TrainLoop:
         self.epochs_since_best = 0
         self.start_epoch = 0
 
-    def _put(self, batch):
+    def _put(self, batch, batch_axis: int = 0):
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            return shard_batch(batch, self.mesh, batch_axis=batch_axis)
         return jax.device_put(batch)
+
+    def _batches(self):
+        """Yield step batches: raw batcher batches, or — with gradient
+        accumulation — groups of `accumulate_batches` consecutive batches
+        stacked on a new leading axis. The incomplete tail group is dropped,
+        matching the reference's epoch length
+        `len(ds) // (batch_size * accumulate_batches)`
+        (train_pretrained.py:457-466)."""
+        if self.accumulate_batches <= 1:
+            for batch in self.batcher.epoch():
+                yield self._put(batch)
+            return
+        group = []
+        for batch in self.batcher.epoch():
+            group.append(batch)
+            if len(group) == self.accumulate_batches:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs, 0), *group
+                )
+                group = []
+                yield self._put(stacked, batch_axis=1)
 
     def resume(self, name: str = "last"):
         """Restore state + loop counters from a checkpoint if present."""
@@ -80,16 +101,14 @@ class TrainLoop:
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.monotonic()
             metrics = {}
-            for batch in self.batcher.epoch():
-                self.state, metrics = self.step_fn(
-                    self.state, self._put(batch), self.rng
-                )
+            for batch in self._batches():
+                self.state, metrics = self.step_fn(self.state, batch, self.rng)
                 step_count += 1
                 if step_count % self.log_every == 0:
                     host = {f"train/{k}": float(v) for k, v in metrics.items()}
                     self.logger.log_scalars(step_count, host)
             dt = time.monotonic() - t0
-            steps = max(self.batcher.steps_per_epoch, 1)
+            steps = max(self.batcher.steps_per_epoch // self.accumulate_batches, 1)
             self.logger.log_scalars(
                 step_count,
                 {

@@ -208,8 +208,18 @@ def make_train_step(
     scaler_cfg: ScalerConfig = ScalerConfig(),
     embedder=None,
     axis_name: str | None = None,
+    accumulate: int = 1,
 ):
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
+
+    accumulate: micro-batches per optimizer step (Lightning
+    ``accumulate_grad_batches``, train_pretrained.py:567). When > 1 every
+    batch leaf must carry a leading axis of size `accumulate`; the step scans
+    over micro-batches inside one XLA program, averaging gradients and
+    chaining BN batch-stats through the scan (matching torch buffer updates
+    per forward), then applies ONE Adam update + ONE teacher EMA step —
+    exactly one `state.step` increment per optimizer step, so schedules and
+    the consistency ramp see optimizer steps, as Lightning's global_step.
 
     axis_name: set (e.g. "data") when the step body runs under shard_map —
     gradients, metrics, and BN batch-stats updates are psum-averaged over
@@ -255,11 +265,9 @@ def make_train_step(
         strong, weak = out
         return strong, weak, stats
 
-    def train_step(state: MeanTeacherState, batch: dict, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
-        if axis_name is not None:
-            # decorrelate per-device randomness (dropout, mixup, masks)
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+    def micro_step(state: MeanTeacherState, s_stats, t_stats, batch: dict,
+                   rng: jax.Array, weight):
+        """Grads + chained BN stats + losses for ONE micro-batch (params fixed)."""
         k_mix, k_gate, k_fs, k_noise, k_sd, k_sa, k_td, k_ta = jax.random.split(rng, 8)
 
         audio, labels, emb, cmask = _concat_batch(cfg, batch)
@@ -316,20 +324,16 @@ def make_train_step(
 
         # teacher forward (train mode, no grad)
         t_strong, t_weak, new_t_stats = detect(
-            state.teacher_params, state.teacher_stats, x, emb, cmask,
+            state.teacher_params, t_stats, x, emb, cmask,
             {"dropout": k_td, "augment": k_ta}, state.scaler,
         )
-
-        weight = cfg.const_max * schedule.scaling_factor(state.step)
-        if cfg.decay_steps is not None:
-            weight = jnp.where(state.step < cfg.decay_steps, weight, cfg.const_max)
 
         sa, sb = strong_rng
         ca, cb = cons_rng
 
         def loss_fn(params):
             s_strong, s_weak, new_s_stats = detect(
-                params, state.student_stats, x, emb, cmask,
+                params, s_stats, x, emb, cmask,
                 {"dropout": k_sd, "augment": k_sa}, state.scaler,
             )
             loss_strong = bce(s_strong[sa:sb], labels[sa:sb])
@@ -351,8 +355,58 @@ def make_train_step(
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.student_params
         )
+        losses = {
+            "loss": total,
+            "loss_strong": aux["loss_strong"],
+            "loss_weak": aux["loss_weak"],
+            "strong_self_sup_loss": aux["strong_self_sup_loss"],
+            "weak_self_sup_loss": aux["weak_self_sup_loss"],
+            "tot_self_loss": aux["tot_self_loss"],
+        }
+        return grads, aux["new_stats"], new_t_stats, losses
+
+    def train_step(state: MeanTeacherState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            # decorrelate per-device randomness (dropout, mixup, masks)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        weight = cfg.const_max * schedule.scaling_factor(state.step)
+        if cfg.decay_steps is not None:
+            weight = jnp.where(state.step < cfg.decay_steps, weight, cfg.const_max)
+
+        if accumulate == 1:
+            grads, new_s_stats, new_t_stats, losses = micro_step(
+                state, state.student_stats, state.teacher_stats, batch, rng, weight
+            )
+        else:
+            def body(carry, xs):
+                s_stats, t_stats, g_acc, l_acc = carry
+                mb, i = xs
+                g, ns, nt, losses = micro_step(
+                    state, s_stats, t_stats, mb, jax.random.fold_in(rng, i), weight
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                l_acc = jax.tree_util.tree_map(jnp.add, l_acc, losses)
+                return (ns, nt, g_acc, l_acc), None
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.student_params)
+            l0 = {
+                k: jnp.zeros((), jnp.float32)
+                for k in ("loss", "loss_strong", "loss_weak",
+                          "strong_self_sup_loss", "weak_self_sup_loss",
+                          "tot_self_loss")
+            }
+            (new_s_stats, new_t_stats, g_sum, l_sum), _ = jax.lax.scan(
+                body,
+                (state.student_stats, state.teacher_stats, g0, l0),
+                (batch, jnp.arange(accumulate)),
+            )
+            inv = 1.0 / accumulate
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+            losses = jax.tree_util.tree_map(lambda v: v * inv, l_sum)
+
         new_t_stats_synced = new_t_stats
-        new_s_stats = aux["new_stats"]
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             new_s_stats = jax.lax.pmean(new_s_stats, axis_name)
@@ -378,17 +432,8 @@ def make_train_step(
             opt_state=new_opt,
         )
         if axis_name is not None:
-            total = jax.lax.pmean(total, axis_name)
-            aux = jax.lax.pmean(
-                {k: v for k, v in aux.items() if k != "new_stats"}, axis_name
-            ) | {"new_stats": None}
-        metrics = {
-            "loss": total,
-            "loss_strong": aux["loss_strong"],
-            "loss_weak": aux["loss_weak"],
-            "strong_self_sup_loss": aux["strong_self_sup_loss"],
-            "weak_self_sup_loss": aux["weak_self_sup_loss"],
-            "tot_self_loss": aux["tot_self_loss"],
+            losses = jax.lax.pmean(losses, axis_name)
+        metrics = losses | {
             "weight": weight,
             "lr": schedule(state.step),
             "grad_norm": optax.global_norm(grads),
@@ -438,9 +483,13 @@ def make_train_step_sharded(
     scaler_cfg: ScalerConfig = ScalerConfig(),
     embedder=None,
     axis: str = "data",
+    accumulate: int = 1,
 ):
     """shard_map train step: every tensor stays device-local; the only
     cross-device traffic is the gradient / metric / BN-stats pmean.
+
+    With accumulate > 1, batch leaves carry a leading micro-batch axis
+    (replicated in time, sharded on the example axis 1).
 
     The plain jit step lets XLA reshard the slot-concatenated batch (measured:
     ~40 all-to-alls + ~47 collective-permutes per step on an 8-way mesh);
@@ -467,9 +516,10 @@ def make_train_step_sharded(
     )
     inner = make_train_step(
         model, local_cfg, optimizer, schedule, mel_cfg, scaler_cfg,
-        embedder=embedder, axis_name=axis,
+        embedder=embedder, axis_name=axis, accumulate=accumulate,
     )
-    batch_specs = jax.tree_util.tree_map(lambda _: P(axis), sample_batch)
+    spec = P(axis) if accumulate == 1 else P(None, axis)
+    batch_specs = jax.tree_util.tree_map(lambda _: spec, sample_batch)
     mapped = shard_map(
         inner,
         mesh=mesh,

@@ -302,7 +302,12 @@ def single_run(
         seed=t.get("seed", 42),
         num_workers=1 if fast_dev_run else t.get("num_workers", 6),
     )
-    steps_per_epoch = 20 if fast_dev_run else batcher.steps_per_epoch
+    accumulate = int(t.get("accumulate_batches", 1))
+    # schedules count OPTIMIZER steps (reference epoch_len divides by
+    # accumulate_batches, train_pretrained.py:457-466)
+    steps_per_epoch = (
+        20 if fast_dev_run else max(batcher.steps_per_epoch // accumulate, 1)
+    )
     cfg = mean_teacher_config(config, slots, steps_per_epoch)
 
     tx, sched = make_optimizer(
@@ -333,11 +338,13 @@ def single_run(
         mesh = make_mesh({"data": n_dev})
         state = jax.device_put(state, replicate(mesh))
         step_fn = make_train_step_sharded(
-            model, cfg, tx, sched, mesh, sample, mel_cfg=mel, scaler_cfg=scal
+            model, cfg, tx, sched, mesh, sample, mel_cfg=mel, scaler_cfg=scal,
+            accumulate=accumulate,
         )
     else:
         step_fn = jax.jit(
-            make_train_step(model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal),
+            make_train_step(model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal,
+                            accumulate=accumulate),
             donate_argnums=0,
         )
     predict_fn = jax.jit(make_predict_step(model, mel, scal))
@@ -420,6 +427,7 @@ def single_run(
         early_stop_patience=t.get("early_stop_patience"),
         rng=jax.random.key(t.get("seed", 42) + 1),
         energy=energy,
+        accumulate_batches=accumulate,
     )
 
     test_results = None

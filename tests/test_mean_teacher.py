@@ -221,6 +221,117 @@ def test_e2e_embedder_in_train_step(rng):
     assert int(state.step) == 2
 
 
+def det_model(dropout=0.0):
+    """CRNN with every stochastic piece off (no dropout / specaugment), so a
+    train-mode forward is deterministic given params — needed for exact
+    gradient-accumulation equality checks."""
+    return CRNN(
+        nclass=N_CLASS,
+        n_RNN_cell=16,
+        n_layers_RNN=1,
+        kernel_size=[3, 3],
+        padding=[1, 1],
+        stride=[1, 1],
+        nb_filters=[8, 8],
+        pooling=[[2, 8], [2, 16]],
+        dropout=dropout,
+        specaugm_t_p=0.0,
+        specaugm_f_p=0.0,
+    )
+
+
+def test_accumulate_grads_match_full_batch(rng):
+    """accumulate=2 over two identical micro-batches produces EXACTLY the
+    full-batch update (grads are means; train-mode BN normalizes with the
+    current batch stats, so the forward is identical). The only documented
+    divergence is BN *running* stats, which see two momentum updates instead
+    of one: new = m^2*old + (1-m^2)*batch_stat."""
+    cfg = MeanTeacherConfig(
+        slots=tiny_cfg().slots, mixup=None, rampup_steps=10, const_max=2.0
+    )
+    model = det_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    batch = make_batch(cfg, rng)
+    state0 = create_state(model, cfg, tx, jax.random.key(0), batch)
+
+    step1 = jax.jit(make_train_step(model, cfg, tx, sched))
+    step2 = jax.jit(make_train_step(model, cfg, tx, sched, accumulate=2))
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x, x], 0), batch)
+
+    s_full, m_full = step1(state0, batch, jax.random.key(1))
+    s_acc, m_acc = step2(state0, stacked, jax.random.key(1))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.student_params),
+        jax.tree_util.tree_leaves(s_acc.student_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.teacher_params),
+        jax.tree_util.tree_leaves(s_acc.teacher_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_acc["loss"]), rtol=1e-5
+    )
+    assert int(s_acc.step) == 1  # one optimizer step per accumulation window
+
+    # BN running stats: two chained momentum updates on the same batch stat.
+    m = 0.01  # flax momentum in the CNN stack (torch momentum 0.99, cnn.py:190)
+    full_leaves = jax.tree_util.tree_leaves(s_full.student_stats)
+    acc_leaves = jax.tree_util.tree_leaves(s_acc.student_stats)
+    init_leaves = jax.tree_util.tree_leaves(state0.student_stats)
+    for x0, x1, x2 in zip(init_leaves, full_leaves, acc_leaves):
+        x0, x1, x2 = map(np.asarray, (x0, x1, x2))
+        # solve batch_stat from the single update, apply momentum twice
+        batch_stat = (x1 - m * x0) / (1.0 - m)
+        np.testing.assert_allclose(
+            x2, m * m * x0 + (1 - m * m) * batch_stat, atol=1e-4
+        )
+
+
+def test_accumulate_different_micros_runs_and_learns(rng):
+    """Two DIFFERENT micro-batches per step: loss plumbing finite, one step
+    increment per call, supervised loss drops on a fixed pair."""
+    cfg = MeanTeacherConfig(
+        slots=tiny_cfg().slots, mixup="soft", mixup_prob=0.5,
+        mixup_groups=(("synth",), ("weak",)), rampup_steps=0, const_max=2.0,
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=0)
+    b1, b2 = make_batch(cfg, rng), make_batch(cfg, rng)
+    stacked = jax.tree_util.tree_map(lambda a, b: np.stack([a, b], 0), b1, b2)
+    state = create_state(model, cfg, tx, jax.random.key(0), b1)
+    step = jax.jit(make_train_step(model, cfg, tx, sched, accumulate=2))
+    sup = []
+    for _ in range(8):
+        state, metrics = step(state, stacked, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        sup.append(float(metrics["loss_strong"]) + float(metrics["loss_weak"]))
+    assert int(state.step) == 8
+    assert sup[-1] < sup[0]
+
+
+def test_accumulate_sharded_8dev(rng):
+    """Gradient accumulation under the shard_map step: micro axis leading,
+    example axis sharded over the 8-way data mesh."""
+    from desed_task_tpu.training.mean_teacher import make_train_step_sharded
+
+    mesh = make_mesh({"data": 8})
+    cfg = tiny_cfg(sizes=(8, 8, 16))
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=50)
+    b1, b2 = make_batch(cfg, rng), make_batch(cfg, rng)
+    stacked = jax.tree_util.tree_map(lambda a, b: np.stack([a, b], 0), b1, b2)
+    state = create_state(model, cfg, tx, jax.random.key(0), b1)
+    state = jax.device_put(state, replicate(mesh))
+    sbatch = shard_batch(stacked, mesh, batch_axis=1)
+    step = make_train_step_sharded(model, cfg, tx, sched, mesh, b1, accumulate=2)
+    state, metrics = step(state, sbatch, jax.random.key(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_2021_style_config_runs(rng):
     """2021 semantics: consistency over the whole batch, weak targets derived
     pre-mixup and soft-mixed directly (weak_labels_post_mixup=False)."""

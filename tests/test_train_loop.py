@@ -155,6 +155,47 @@ def test_full_training_pipeline(corpus, tmp_path):
     assert len(results["scores_postprocessed"]) == 6
 
 
+def test_train_loop_gradient_accumulation(corpus, tmp_path):
+    """accumulate_batches=2: the loop stacks 2 consecutive batcher batches on
+    a leading micro axis and the step takes ONE optimizer step per group
+    (reference Trainer accumulate_grad_batches, train_pretrained.py:567)."""
+    root, synth_tsv, weak_tsv, _, _ = corpus
+    datasets = {
+        "synth": StronglyAnnotatedSet(root / "synth", synth_tsv, ENC, pad_to=2),
+        "weak": WeakSet(root / "weak", weak_tsv, ENC, pad_to=2),
+        "unlabeled": UnlabeledSet(root / "unlab", ENC, pad_to=2),
+    }
+    batcher = MultiSourceBatcher(
+        datasets, {"synth": 2, "weak": 2, "unlabeled": 2}, seed=0, num_workers=1
+    )
+    assert batcher.steps_per_epoch == 4  # -> 2 optimizer steps/epoch at acc=2
+    cfg = MeanTeacherConfig(
+        slots=(
+            SlotSpec("synth", 2, "strong"),
+            SlotSpec("weak", 2, "weak"),
+            SlotSpec("unlabeled", 2, "unlabeled"),
+        ),
+        mixup="soft",
+        mixup_groups=(("synth",), ("weak",)),
+        rampup_steps=10,
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    sample = next(iter(batcher.epoch(steps=1)))
+    state = create_state(model, cfg, tx, jax.random.key(0), sample)
+    step = jax.jit(
+        make_train_step(model, cfg, tx, sched, accumulate=2), donate_argnums=0
+    )
+    logger = MetricsLogger(tmp_path / "logs_acc", use_tensorboard=False)
+    loop = TrainLoop(
+        step, state, batcher, n_epochs=2, logger=logger,
+        rng=jax.random.key(1), log_every=1, accumulate_batches=2,
+    )
+    final_state = loop.run()
+    # 2 epochs x (4 batches // 2) = 4 optimizer steps
+    assert int(jax.device_get(final_state.step)) == 4
+
+
 def test_multilabel_f1():
     probs = np.array([[0.9, 0.1], [0.8, 0.7], [0.2, 0.6]])
     targets = np.array([[1, 0], [1, 1], [0, 1]])
