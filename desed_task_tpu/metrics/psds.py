@@ -155,20 +155,9 @@ class PSDSEval:
         pts = [self.operating_point(op, alpha_ct) for op in operating_points]
         tprs = np.stack([p[0] for p in pts])  # [n_op, C]
         efprs = np.stack([p[1] for p in pts])
-        curves = []
-        for c in range(C):
-            x = np.concatenate([[0.0], efprs[:, c]])
-            y = np.concatenate([[0.0], tprs[:, c]])
-            order = np.lexsort((y, x))
-            x, y = x[order], y[order]
-            y = np.maximum.accumulate(y)  # monotone support
-            curves.append((x, y))
-        grid = np.unique(np.concatenate([c[0] for c in curves]))
-        tpr_grid = np.zeros((C, len(grid)))
-        for c, (x, y) in enumerate(curves):
-            idx = np.searchsorted(x, grid, side="right") - 1
-            tpr_grid[c] = np.where(idx >= 0, y[np.maximum(idx, 0)], 0.0)
-        return grid, tpr_grid
+        return psd_roc_from_points(
+            [(efprs[:, c], tprs[:, c]) for c in range(C)]
+        )
 
     def psds(
         self,
@@ -190,6 +179,42 @@ class PSDSEval:
         x = np.concatenate([x[keep], [x_max]])
         y = np.concatenate([y[keep], [y[keep][-1] if keep.any() else 0.0]])
         return float(np.sum(np.diff(x) * y[:-1]))
+
+
+def psd_roc_from_points(points: list[tuple[np.ndarray, np.ndarray]]):
+    """Per-class staircase ROC support from raw (efpr, tpr) point sets.
+
+    Each class's curve is the monotone upper support of its points (sorted by
+    eFPR, cumulative-max TPR, anchored at the origin), evaluated on the union
+    grid of all class eFPR values. Returns (grid, tpr_grid[C, n_grid])."""
+    curves = []
+    for efpr, tpr in points:
+        x = np.concatenate([[0.0], efpr])
+        y = np.concatenate([[0.0], tpr])
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        y = np.maximum.accumulate(y)  # monotone support
+        curves.append((x, y))
+    grid = np.unique(np.concatenate([c[0] for c in curves]))
+    tpr_grid = np.zeros((len(curves), len(grid)))
+    for c, (x, y) in enumerate(curves):
+        idx = np.searchsorted(x, grid, side="right") - 1
+        tpr_grid[c] = np.where(idx >= 0, y[np.maximum(idx, 0)], 0.0)
+    return grid, tpr_grid
+
+
+def psds_from_points(
+    points: list[tuple[np.ndarray, np.ndarray]],
+    alpha_st: float = 0.0,
+    max_efpr: float = 100.0,
+) -> float:
+    """PSDS from per-class (efpr, tpr) point sets (same aggregation as
+    PSDSEval.psds: mean-std effective TPR, left-step integration)."""
+    grid, tpr_grid = psd_roc_from_points(points)
+    mu = tpr_grid.mean(0)
+    sigma = tpr_grid.std(0)
+    etpr = np.maximum(mu - alpha_st * sigma, 0.0)
+    return PSDSEval._auc_step(grid, etpr, max_efpr) / max_efpr
 
 
 def plot_psd_roc(

@@ -4,14 +4,16 @@ API-parity replacements for the sed_scores_eval functions the reference calls
 (evaluation_measures.py compute_psds_from_scores :258-303;
 sed_trainer_pretrained.py:641-669 intersection/collar fscore at 0.5).
 
-sed_scores_eval evaluates the PSD-ROC at every distinct score threshold via
-change-point bookkeeping; here the ROC is evaluated on a dense quantile grid
-of thresholds (default 256) drawn from the observed score distribution —
-an arbitrarily-fine approximation of the threshold-free curve that reuses the
-fixture-validated PSDSEval counting (metrics/psds.py). The reference's own
-PSDS1 gap between 50-point psds_eval and threshold-free sed_scores_eval is
-~0.01-0.02 (BASELINE.md); a 256-point quantile grid sits within ~1e-3 of the
-dense curve.
+EXACT change-point evaluation (sed_scores_eval semantics, Ebbers et al.
+ICASSP 2022): scores are piecewise-constant curves, so every counting
+statistic (TP / FP / cross-trigger) is a step function of the decision
+threshold whose change points are the distinct score values. Per clip and
+class we enumerate ALL distinct superlevel sets `score > tau` (tau in
+{-inf} ∪ unique scores — every possible detection set), count with the
+fixture-validated DTC/GTC/CTTC rules (metrics/psds.py), and merge the
+per-clip step functions into dataset-level TP(tau)/FP(tau)/CT(tau) by
+delta-accumulation over the union of change points. The per-class PSD-ROC
+support is therefore exact — no threshold grid, no approximation.
 
 Scores: {clip_id: DataFrame(onset, offset, <class>...)} — the decode output.
 """
@@ -23,7 +25,7 @@ import pandas as pd
 
 from ..labels.events import find_contiguous_regions
 from .event_based import event_based_metrics
-from .psds import PSDSEval, compute_per_intersection_macro_f1
+from .psds import PSDSEval, compute_per_intersection_macro_f1, psds_from_points
 
 
 def scores_to_event_df(
@@ -45,14 +47,130 @@ def scores_to_event_df(
     return pd.DataFrame(rows, columns=["event_label", "onset", "offset", "filename"])
 
 
-def _quantile_thresholds(scores: dict, n: int) -> np.ndarray:
-    sample = []
-    for df in scores.values():
-        cols = [c for c in df.columns if c not in ("onset", "offset")]
-        sample.append(df[cols].to_numpy().ravel())
-    allv = np.concatenate(sample) if sample else np.array([0.5])
-    qs = np.quantile(allv, np.linspace(0.0, 1.0, n + 2)[1:-1])
-    return np.unique(qs)
+def _segment_overlaps(t: np.ndarray, intervals: np.ndarray) -> np.ndarray:
+    """Pairwise overlap durations of score segments [t[i], t[i+1}) with
+    `intervals` [E, 2] -> [n_segments, E]."""
+    lo = np.maximum(t[:-1, None], intervals[None, :, 0])
+    hi = np.minimum(t[1:, None], intervals[None, :, 1])
+    return np.maximum(0.0, hi - lo)
+
+
+def _clip_class_step_counts(
+    t: np.ndarray,
+    s: np.ndarray,
+    gt_c: np.ndarray | None,
+    other_gts: list[tuple[int, np.ndarray]],
+    n_classes: int,
+    dtc: float,
+    gtc: float,
+    cttc: float | None,
+):
+    """Exact per-threshold TP/FP/CT counts for ONE clip and ONE class.
+
+    The detection set {score > tau} is constant for tau in [u_j, u_{j+1})
+    where u are the sorted unique scores, so enumerating tau in
+    {-inf} ∪ unique(s) covers every possible detection set. Counting rules
+    mirror PSDSEval.evaluate_detections (fixture-validated) exactly.
+
+    Returns right-continuous step functions (taus[T], tp[T], fp[T], ct[T, C]):
+    row j holds for any threshold in [taus[j], taus[j+1}).
+    """
+    d = np.diff(t)
+    u = np.unique(s)
+    taus = np.concatenate([[-np.inf], u])
+    T, n = len(taus), len(s)
+    act = s[None, :] > taus[:, None]  # [T, n]
+    prev = np.zeros_like(act)
+    prev[:, 1:] = act[:, :-1]
+    starts = act & ~prev
+    run_id = np.cumsum(starts, axis=1) - 1  # valid where act
+    n_runs = starts.sum(1)
+    K = int(n_runs.max())
+    ct = np.zeros((T, n_classes))
+    if K == 0:  # no detections at any threshold (all scores identical -inf?)
+        return taus, np.zeros(T, int), np.zeros(T, int), ct
+
+    rows = np.broadcast_to(np.arange(T)[:, None], act.shape)
+    key = (rows * K + run_id)[act]
+    dur_run = np.bincount(
+        key, np.broadcast_to(d, act.shape)[act], minlength=T * K
+    ).reshape(T, K)
+    exists = np.arange(K)[None, :] < n_runs[:, None]
+
+    if gt_c is not None and len(gt_c):
+        seg_ov = _segment_overlaps(t, gt_c)  # [n, E]
+        o = seg_ov.sum(1)
+        ov_run = np.bincount(
+            key, np.broadcast_to(o, act.shape)[act], minlength=T * K
+        ).reshape(T, K)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(dur_run > 0, ov_run / dur_run, 0.0)
+        dtc_ok = exists & (ratio >= dtc)
+        # segments belonging to a DTC-valid run
+        valid_seg = act & dtc_ok[rows, np.maximum(run_id, 0)]
+        cover = valid_seg.astype(float) @ seg_ov  # [T, E]
+        glen = gt_c[:, 1] - gt_c[:, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gratio = np.where(glen[None, :] > 0, cover / glen[None, :], 0.0)
+        tp = (gratio >= gtc).sum(1)
+    else:
+        dtc_ok = np.zeros((T, K), bool)
+        tp = np.zeros(T, int)
+
+    failing = exists & ~dtc_ok
+    fp = failing.sum(1)
+    if cttc is not None and other_gts:
+        for cidx, og in other_gts:
+            oc = _segment_overlaps(t, og).sum(1)
+            oc_run = np.bincount(
+                key, np.broadcast_to(oc, act.shape)[act], minlength=T * K
+            ).reshape(T, K)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cratio = np.where(dur_run > 0, oc_run / dur_run, 0.0)
+            ct[:, cidx] = (failing & (cratio >= cttc)).sum(1)
+    return taus, tp, fp, ct
+
+
+def _merge_clip_steps(per_clip: list, n_classes: int):
+    """Merge per-clip right-continuous step functions into dataset-level ones
+    by delta accumulation over the union of change points.
+
+    per_clip: list of (taus, tp, fp, ct) from _clip_class_step_counts.
+    Returns (taus[Tg], tp[Tg], fp[Tg], ct[Tg, C]) for the whole dataset.
+    """
+    base_tp = sum(int(c[1][0]) for c in per_clip)
+    base_fp = sum(int(c[2][0]) for c in per_clip)
+    base_ct = np.sum([c[3][0] for c in per_clip], axis=0)
+    taus_all, dtp, dfp, dct = [], [], [], []
+    for taus, tp, fp, ct in per_clip:
+        if len(taus) <= 1:
+            continue
+        taus_all.append(taus[1:])
+        dtp.append(np.diff(tp))
+        dfp.append(np.diff(fp))
+        dct.append(np.diff(ct, axis=0))
+    if not taus_all:
+        return (
+            np.array([-np.inf]),
+            np.array([base_tp]),
+            np.array([base_fp]),
+            base_ct[None, :],
+        )
+    taus_all = np.concatenate(taus_all)
+    order = np.argsort(taus_all, kind="stable")
+    taus_sorted = taus_all[order]
+    tp_cum = base_tp + np.cumsum(np.concatenate(dtp)[order])
+    fp_cum = base_fp + np.cumsum(np.concatenate(dfp)[order])
+    ct_cum = base_ct[None, :] + np.cumsum(np.concatenate(dct)[order], axis=0)
+    # collapse equal change points: keep the LAST row at each tau (all deltas
+    # at that threshold applied)
+    keep = np.append(taus_sorted[1:] != taus_sorted[:-1], True)
+    return (
+        np.concatenate([[-np.inf], taus_sorted[keep]]),
+        np.concatenate([[base_tp], tp_cum[keep]]),
+        np.concatenate([[base_fp], fp_cum[keep]]),
+        np.concatenate([base_ct[None, :], ct_cum[keep]], axis=0),
+    )
 
 
 def compute_psds_from_scores(
@@ -65,20 +183,54 @@ def compute_psds_from_scores(
     alpha_ct: float = 0.0,
     alpha_st: float = 0.0,
     max_efpr: float = 100.0,
-    n_thresholds: int = 256,
 ) -> float:
-    """Threshold-free PSDS from continuous score curves (dense-grid)."""
+    """Threshold-free PSDS from piecewise-constant score curves — EXACT
+    change-point enumeration (sed_scores_eval semantics,
+    reference evaluation_measures.py:258-303)."""
     gt = _as_gt_df(ground_truth)
     dur = _as_dur_df(audio_durations)
-    thresholds = _quantile_thresholds(scores, n_thresholds)
-    ops = [scores_to_event_df(scores, th) for th in thresholds]
     ev = PSDSEval(
         gt, dur,
         dtc_threshold=dtc_threshold,
         gtc_threshold=gtc_threshold,
         cttc_threshold=cttc_threshold,
     )
-    return ev.psds(ops, alpha_ct=alpha_ct, alpha_st=alpha_st, max_efpr=max_efpr)
+    C = len(ev.class_names)
+    points = []
+    for c, cname in enumerate(ev.class_names):
+        per_clip = []
+        for clip_id, df in scores.items():
+            if cname not in df.columns:
+                continue
+            fname = f"{clip_id}.wav"
+            t = np.concatenate(
+                [df["onset"].to_numpy(), [float(df["offset"].iloc[-1])]]
+            )
+            s = df[cname].to_numpy(float)
+            gt_c = ev._gt.get((fname, cname))
+            others = [
+                (ev._cindex[lab], ev._gt[(fname, lab)])
+                for lab in ev._gt_by_file.get(fname, ())
+                if lab != cname
+            ] if cttc_threshold is not None else []
+            per_clip.append(
+                _clip_class_step_counts(
+                    t, s, gt_c, others, C,
+                    dtc_threshold, gtc_threshold, cttc_threshold,
+                )
+            )
+        _, tp, fp, ct = _merge_clip_steps(per_clip, C)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tpr = np.where(ev.n_gt[c] > 0, tp / ev.n_gt[c], 0.0)
+        efpr = fp * 3600.0 / ev.dataset_duration
+        if alpha_ct > 0 and cttc_threshold is not None:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ctr = np.where(ev.t_gt[None, :] > 0, ct * 3600.0 / ev.t_gt[None, :], 0.0)
+            ctr[:, c] = 0.0
+            # psds_eval fixture-calibrated detail: row mean over ALL C classes
+            efpr = efpr + alpha_ct * ctr.sum(1) / max(C, 1)
+        points.append((efpr, tpr))
+    return psds_from_points(points, alpha_st=alpha_st, max_efpr=max_efpr)
 
 
 def intersection_fscore_from_scores(

@@ -307,12 +307,27 @@ def run_test(
                      title=f"PSDS scenario 1 = {psds1:.4f}")
         plot_psd_roc(ev2, ops, 0.5, 1, filename=d / "PSDS_scenario2_roc.png",
                      title=f"PSDS scenario 2 = {psds2:.4f}")
+    # threshold-free "sed score" variants on the postprocessed score curves
+    # (exact change-point PSDS, reference evaluation_measures.py:258-303 /
+    # sed_trainer_pretrained.py test battery)
+    from ..metrics.scores import compute_psds_from_scores
+
+    psds1_sed = compute_psds_from_scores(
+        post, test_gt, test_dur, dtc_threshold=0.7, gtc_threshold=0.7,
+        alpha_ct=0, alpha_st=1,
+    )
+    psds2_sed = compute_psds_from_scores(
+        post, test_gt, test_dur, dtc_threshold=0.1, gtc_threshold=0.1,
+        cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1,
+    )
     inter_f1 = compute_per_intersection_macro_f1(dfs[0.5], test_gt, test_dur)
     classes = desed_classes or sorted(set(test_gt["event_label"].dropna()))
     collar = event_based_metrics(test_gt, dfs[0.5], classes)
     results = {
         "psds1": psds1,
         "psds2": psds2,
+        "psds1_sed_scores_eval": psds1_sed,
+        "psds2_sed_scores_eval": psds2_sed,
         "intersection_f1_macro": inter_f1,
         "event_f1_macro": collar["macro_f_measure"],
         "scores_postprocessed": post,

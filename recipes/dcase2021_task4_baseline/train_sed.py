@@ -35,8 +35,9 @@ def main():
     )
     if results is not None:
         print("==== dev-test results ====")
-        for k in ("psds1", "psds2", "intersection_f1_macro", "event_f1_macro"):
-            print(f"  {k}: {results[k]:.4f}")
+        for k, v in results.items():
+            if isinstance(v, float):
+                print(f"  {k}: {v:.4f}")
 
 
 if __name__ == "__main__":
