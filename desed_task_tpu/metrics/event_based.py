@@ -91,10 +91,9 @@ def event_based_metrics(
             per_class[c]["n_sys"] += len(e)
             if not r or not e:
                 continue
-            # greedy first-fit in input order (bit-parity with the sed_eval
-            # report the reference commits: maximum bipartite matching finds
-            # strictly more TPs on the fixture's Running_water class, so the
-            # original scorer's greedy pairing is what we reproduce)
+            # greedy first-fit in input order — exact sed_eval semantics
+            # (PARITY #8: the one fixture-report delta is a float artifact of
+            # the committed CSV's rounding, proven in test_metrics_golden)
             used = [False] * len(e)
             tp = 0
             for on_r, off_r in r:
