@@ -220,11 +220,13 @@ class SeparatedSet(_BaseSet):
     consumes features [bs, n_src, mels, frames])."""
 
     def __init__(
-        self, separated_folder, base_dataset: _BaseSet, n_src: int = 4, **kwargs
+        self, separated_folder, base_dataset: _BaseSet, n_src: int = 4,
+        sources_as_audio: bool = False, **kwargs
     ):
         self.base = base_dataset
         self.separated_folder = Path(separated_folder)
         self.n_src = n_src
+        self.sources_as_audio = sources_as_audio
         self.encoder = base_dataset.encoder
         self.fs = base_dataset.fs
         self.pad_to = base_dataset.pad_to
@@ -248,4 +250,8 @@ class SeparatedSet(_BaseSet):
                 audio = np.zeros(self.pad_to, np.float32)
             sources.append(audio)
         out["sources"] = np.stack(sources)  # [n_src, N]
+        if self.sources_as_audio:
+            # the sepsed engine consumes "audio" of shape [n_src, N]
+            # (finetune_on_separated.py multisrc=True datasets)
+            out["audio"] = out["sources"]
         return out

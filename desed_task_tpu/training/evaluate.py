@@ -84,7 +84,7 @@ def predict_dataset(
         audio = np.asarray(batch["audio"])
         if n_real < batch_size:  # pad to the static jit shape (one compile)
             audio = np.concatenate(
-                [audio, np.zeros((batch_size - n_real, audio.shape[1]), audio.dtype)]
+                [audio, np.zeros((batch_size - n_real, *audio.shape[1:]), audio.dtype)]
             )
         kwargs = {}
         if "embeddings" in batch:

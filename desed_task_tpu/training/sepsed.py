@@ -25,6 +25,49 @@ from .mean_teacher import MeanTeacherConfig, MeanTeacherState, _concat_batch
 from .schedulers import ExponentialWarmup
 
 
+def sepsed_featurize(audio, scaler, mel_cfg: MelConfig, scaler_cfg: ScalerConfig):
+    """[B, n_src, N] separated waveforms -> per-source log-mel features plus
+    the mixture branch's features from the source-SUM of the linear mels
+    (sepsed_trainer detect, :215-223)."""
+    b, n_src, n = audio.shape
+    src_mel = mel_spectrogram(audio.reshape(b * n_src, n), mel_cfg)
+    src_mel = src_mel.reshape(b, n_src, *src_mel.shape[1:])
+    mix_mel = src_mel.sum(axis=1)
+    log_scale = lambda m: apply_scaler(
+        amplitude_to_db(m, mel_cfg), scaler_cfg, scaler
+    )
+    b2 = src_mel.reshape(b * n_src, *src_mel.shape[2:])
+    sources = log_scale(b2).reshape(b, n_src, *b2.shape[1:])
+    mixture = log_scale(mix_mel)
+    return sources, mixture
+
+
+def make_sepsed_predict_step(
+    ensemble_model,
+    monaural_variables: Optional[dict],
+    mel_cfg: MelConfig = MelConfig(),
+    scaler_cfg: ScalerConfig = ScalerConfig(),
+):
+    """Inference forward over separated sources: (params, stats,
+    audio[B, n_src, N], scaler?) -> (strong, weak). Eval mode, blended with
+    the frozen monaural branch."""
+
+    def predict(params, stats, audio, scaler=None, pad_mask=None):
+        sources, mixture = sepsed_featurize(audio, scaler, mel_cfg, scaler_cfg)
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        return ensemble_model.apply(
+            variables,
+            sources,
+            mixture,
+            monaural_variables=monaural_variables,
+            train=False,
+        )
+
+    return predict
+
+
 def make_sepsed_train_step(
     ensemble_model,
     monaural_variables: Optional[dict],
@@ -42,17 +85,7 @@ def make_sepsed_train_step(
     ca, cb = cfg.consistency_range
 
     def featurize(audio, scaler):
-        b, n_src, n = audio.shape
-        src_mel = mel_spectrogram(audio.reshape(b * n_src, n), mel_cfg)
-        src_mel = src_mel.reshape(b, n_src, *src_mel.shape[1:])
-        mix_mel = src_mel.sum(axis=1)
-        log_scale = lambda m: apply_scaler(
-            amplitude_to_db(m, mel_cfg), scaler_cfg, scaler
-        )
-        b2 = src_mel.reshape(b * n_src, *src_mel.shape[2:])
-        sources = log_scale(b2).reshape(b, n_src, *b2.shape[1:])
-        mixture = log_scale(mix_mel)
-        return sources, mixture
+        return sepsed_featurize(audio, scaler, mel_cfg, scaler_cfg)
 
     def forward(params, stats, sources, mixture, rngs, train):
         variables = {"params": params}

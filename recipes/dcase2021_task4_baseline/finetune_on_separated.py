@@ -1,11 +1,11 @@
 #!/usr/bin/env python
 """Fine-tune the separation ensemble (parity with the reference
 finetune_on_separated.py:24-387): a multisrc CRNN over separated sources
-blended with a frozen monaural CRNN via a learned scalar q.
+blended with a frozen monaural CRNN via the learned scalar q.
 
-Requires a trained 2021 SED checkpoint (--sed_checkpoint) and separated
-dataset folders produced by run_separation.py. The EnsembleModel lives in
-desed_task_tpu.models.ensemble; this CLI wires it to the mean-teacher loop.
+Requires a trained 2021 SED checkpoint (--sed_checkpoint, from train_sed.py)
+and separated source files produced by run_separation.py
+(<folder>_separated/X_src{i}.wav, or explicit data.*_folder_sep conf keys).
 """
 
 import argparse
@@ -19,33 +19,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--conf_file", default="./confs/sed.yaml")
+    parser.add_argument("--conf_file", default="./confs/sep+sed.yaml")
     parser.add_argument("--sed_checkpoint", required=True,
                         help="checkpoint dir of the trained monaural 2021 CRNN")
+    parser.add_argument("--sed_model", default="student",
+                        choices=["student", "teacher"],
+                        help="which branch of the SED checkpoint seeds the ensemble")
     parser.add_argument("--log_dir", default="./exp/2021_separation_ensemble")
+    parser.add_argument("--n_src", type=int, default=4)
+    parser.add_argument("--fast_dev_run", action="store_true")
+    parser.add_argument("--test_from_checkpoint", default=None)
     args = parser.parse_args()
 
-    import jax
-    from desed_task_tpu.models import CRNN
-    from desed_task_tpu.models.ensemble import EnsembleModel
-    from desed_task_tpu.obs.checkpoint import CheckpointManager
-    from desed_task_tpu.training.single_run import build_model
+    from desed_task_tpu.training.sepsed_run import sepsed_single_run
 
     with open(args.conf_file) as f:
         config = yaml.safe_load(f)
-    monaural = build_model(config, fast=False)
-    mgr = CheckpointManager(args.sed_checkpoint)
-    if not (mgr.exists("best") or mgr.exists("last")):
-        raise SystemExit(
-            f"no checkpoint found under {args.sed_checkpoint}; train the 2021 "
-            "baseline first (train_sed.py)"
-        )
-    print(
-        "ensemble fine-tune scaffold ready: monaural CRNN restored from "
-        f"{args.sed_checkpoint}; wire separated-source datasets (4 sources "
-        "per clip from run_separation.py) into MultiSourceBatcher and train "
-        "EnsembleModel with the mean-teacher loop (models/ensemble.py)"
+    state, results = sepsed_single_run(
+        config,
+        args.log_dir,
+        sed_checkpoint=args.sed_checkpoint,
+        sed_model=args.sed_model,
+        n_src=args.n_src,
+        fast_dev_run=args.fast_dev_run,
+        test_from_checkpoint=args.test_from_checkpoint,
     )
+    if results is not None:
+        print("==== dev-test results (separation ensemble) ====")
+        for k, v in results.items():
+            if isinstance(v, float):
+                print(f"  {k}: {v:.4f}")
 
 
 if __name__ == "__main__":
