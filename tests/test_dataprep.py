@@ -95,3 +95,64 @@ def test_hpo_random_search(tmp_path):
 
     best_eval = run_study(config, lambda c: 1.0, 2, tmp_path / "study", mode="eval")
     assert len(best_eval["params"]) == 3  # one median window per class
+
+
+def test_link_synth_tree(tmp_path):
+    """Offline synth-layout stage of the 2022/2023 generate scripts:
+    audio subfolders and metadata tsvs symlinked into the dataset layout
+    (reference generate_dcase_task4_2022.py:39-89)."""
+    from desed_task_tpu.tools.dataset_setup import link_synth_tree
+
+    synth = tmp_path / "dcase_synth"
+    for sub in ("soundscapes_16k", "extra"):
+        (synth / "audio" / "train" / sub).mkdir(parents=True)
+        (synth / "audio" / "train" / sub / "a.wav").write_bytes(b"x")
+    (synth / "audio" / "validation").mkdir(parents=True)
+    (synth / "audio" / "validation" / "v.wav").write_bytes(b"x")
+    for split in ("train", "validation"):
+        meta = synth / "metadata" / split / f"synthetic21_{split}"
+        meta.mkdir(parents=True)
+        (meta / "soundscapes.tsv").write_text("filename\tonset\n")
+
+    dest = tmp_path / "dataset"
+    n = link_synth_tree(synth, dest)
+    assert (dest / "audio/train/soundscapes_16k").is_symlink()
+    assert (dest / "audio/train/soundscapes_16k/a.wav").exists()
+    # flat validation layout handled
+    assert (dest / "audio/validation/v.wav").exists()
+    assert (dest / "metadata/train/synthetic21_train/soundscapes.tsv").is_symlink()
+    assert n == 5
+
+    # idempotent: re-linking warns and creates nothing new
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        n2 = link_synth_tree(synth, dest)
+    assert n2 == 0 and len(rec) >= 1
+
+
+def test_record_missing_files(tmp_path, monkeypatch):
+    from desed_task_tpu.tools.dataset_setup import record_missing_files
+
+    monkeypatch.chdir(tmp_path)
+    out = record_missing_files(["Y1.wav", "Y2.wav"], "desed_real")
+    assert out.exists()
+    text = out.read_text().splitlines()
+    assert text[0] == "filename" and len(text) == 3
+
+
+@pytest.mark.parametrize("year", ["2022", "2023"])
+def test_generate_cli_parses_and_degrades(year, tmp_path, monkeypatch, capsys):
+    """The generate CLIs parse and run all stages without `desed`/network,
+    printing actionable messages instead of crashing."""
+    import runpy
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    script = f"/root/repo/recipes/dcase{year}_task4_baseline/generate_dcase_task4_{year}.py"
+    monkeypatch.setattr(
+        sys, "argv", [script, "--basedir", str(tmp_path), "--out_dir", str(tmp_path / "out")]
+    )
+    runpy.run_path(script, run_name="__main__")
+    outp = capsys.readouterr().out
+    assert "dataset layout at:" in outp
