@@ -16,6 +16,7 @@ Numerics matched to the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -41,9 +42,9 @@ class ContextGating(nn.Module):
         return x * nn.sigmoid(lin)
 
 
-def _folded_conv3x3(x, kernel, bias):
+def _folded_conv3x3(x, kernel):
     """3x3 pad-1 stride-1 conv on [B, T, F, C] as an equivalent 1-D conv over
-    time on [B, T, F*C] with a block-banded kernel.
+    time on [B, T, F*C] with a block-banded kernel (no bias).
 
     Bit-exact (same contraction, different tiling): once the frequency axis
     has been pooled below a TPU sublane tile (F <= 8), the NHWC conv wastes
@@ -68,16 +69,15 @@ def _folded_conv3x3(x, kernel, bias):
         padding=[(1, 1)],
         dimension_numbers=("NHC", "HIO", "NHC"),
     )
-    return out.reshape(B, T, F, Cout) + bias
+    return out.reshape(B, T, F, Cout)
 
 
-def _shift_add_conv3x3(x, kernel, bias):
-    """3x3 pad-1 conv for tiny input-channel counts as 9 shifted FMAs.
+def _shift_add_conv3x3(x, kernel):
+    """3x3 pad-1 conv for tiny channel counts as 9 shifted FMAs (no bias).
 
     With C_in < 8 the MXU/im2col path wastes nearly the whole 128-lane tile;
     9 broadcast multiply-adds on the VPU are ~1.7x faster for the first CRNN
-    conv (C_in=1, measured on v5e), and the autodiff backward is again plain
-    shifted products, so this path is safe for training.
+    conv (C_in=1, measured on v5e).
     """
     B, T, F, Cin = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -87,20 +87,68 @@ def _shift_add_conv3x3(x, kernel, bias):
             win = xp[:, i : i + T, j : j + F, :]  # [B,T,F,Cin]
             term = jnp.einsum("btfc,co->btfo", win, kernel[i, j])
             out = term if out is None else out + term
-    return out + bias
+    return out
+
+
+def _plain_conv3x3(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fast_conv3x3(x, kernel, bias, path: str):
+    """3x3 pad-1 stride-1 conv with a TPU-tiled forward AND backward.
+
+    Round-1 finding (docs/performance.md): the folded/shift-add forwards are
+    25-70% faster than the NHWC conv, but XLA's autodiff differentiates the
+    MATERIALIZED banded weight (dense [3, F*C, F*C] wgrad) / the 9-term
+    einsum, losing more than the forward gains. This custom VJP keeps the
+    fast tilings for the forward and the input-gradient (the transpose of a
+    SAME 3x3 conv is the same conv with a flipped, channel-transposed
+    kernel — identical banded structure) while routing the weight gradient
+    through XLA's native conv transpose (efficient im2col GEMM on the true
+    [3, 3, Cin, Cout] parameter). Bit-exact vs the plain path.
+    """
+    core = _folded_conv3x3 if path == "folded" else _shift_add_conv3x3
+    return core(x, kernel) + bias
+
+
+def _fast_conv3x3_fwd(x, kernel, bias, path):
+    return fast_conv3x3(x, kernel, bias, path), (x, kernel)
+
+
+def _fast_conv3x3_bwd(path, res, dy):
+    x, kernel = res
+    # dgrad: full correlation = SAME conv of dy with the spatially flipped,
+    # channel-transposed kernel -> same fast tiling applies
+    kt = jnp.flip(kernel, (0, 1)).transpose(0, 1, 3, 2)
+    if path == "folded":
+        dx = _folded_conv3x3(dy, kt)
+    else:
+        dx = _shift_add_conv3x3(dy, kt)
+    # wgrad on the true 3x3 parameter via XLA's conv transpose rule
+    dw = jax.linear_transpose(lambda k: _plain_conv3x3(x, k), kernel)(dy)[0]
+    db = dy.sum((0, 1, 2))
+    return dx, dw, db
+
+
+fast_conv3x3.defvjp(_fast_conv3x3_fwd, _fast_conv3x3_bwd)
 
 
 class _Conv2dAuto(nn.Module):
     """Conv2d with nn.Conv's exact parameter layout (kernel [kh, kw, in, out]
-    + bias) that automatically switches to the bit-exact folded 1-D form
-    (_folded_conv3x3) when the frequency axis is tile-small."""
+    + bias) that automatically switches to bit-exact TPU-tiled fast paths
+    (banded fold for tile-small freq axes, shift-add for tiny channel
+    counts) — now safe for training via fast_conv3x3's custom VJP."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     pad: int = 1
     dtype: Any = None
-    fold: bool = False
+    fast: Any = True  # True | False | "folded" | "shift_add"
 
     @nn.compact
     def __call__(self, x):
@@ -115,31 +163,13 @@ class _Conv2dAuto(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
-        # folded path: forward-only win (~25-30%/block) — its backward does a
-        # dense wgrad through the band-scatter and loses more than the
-        # forward gains (measured end-to-end: 1070 -> 978 clips/s), so it is
-        # only taken under stop_gradient-free inference via `fold` flag.
-        foldable = (
-            self.fold
-            and self.kernel == 3
-            and self.stride == 1
-            and self.pad == 1
-            and x.shape[2] <= 8
-            and in_ch >= 8
-        )
-        if foldable:
-            return _folded_conv3x3(x, kernel, bias)
-        if (
-            self.fold
-            and self.kernel == 3
-            and self.stride == 1
-            and self.pad == 1
-            and in_ch < 8
-        ):
-            # forward-only win like the banded fold (measured: step 55 -> 61 ms
-            # when enabled for training — the 9-term einsum backward loses
-            # more than the forward gains), so inference-only as well.
-            return _shift_add_conv3x3(x, kernel, bias)
+        is_same3x3 = self.kernel == 3 and self.stride == 1 and self.pad == 1
+        use_folded = self.fast in (True, "folded")
+        use_shift = self.fast in (True, "shift_add")
+        if use_folded and is_same3x3 and x.shape[2] <= 8 and in_ch >= 8:
+            return fast_conv3x3(x, kernel, bias, "folded")
+        if use_shift and is_same3x3 and in_ch < 8:
+            return fast_conv3x3(x, kernel, bias, "shift_add")
         out = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -165,9 +195,9 @@ class CNN(nn.Module):
     # computation dtype: jnp.bfloat16 feeds the MXU at 4x fp32 throughput on
     # v5e; params/BN stats stay fp32 (flax param_dtype default)
     dtype: Any = None
-    # inference-only optimization: fold small-freq 3x3 convs into banded
-    # 1-D convs (bit-exact forward; bad backward, keep False for training)
-    fold_small_freq: bool = False
+    # bit-exact TPU-tiled conv paths (banded fold / shift-add) with custom
+    # VJP: True | False | "folded" | "shift_add"
+    fast_conv: Any = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -181,7 +211,7 @@ class CNN(nn.Module):
                 stride=s,
                 pad=p,
                 dtype=self.dtype,
-                fold=self.fold_small_freq,
+                fast=self.fast_conv,
                 name=f"conv{i}",
             )(x)
             if self.normalization == "batch":

@@ -85,8 +85,8 @@ class CRNN(nn.Module):
     # computation dtype for the CNN stack (bf16 on TPU; fp32 default keeps
     # bit-parity with the reference). The RNN and heads stay fp32.
     compute_dtype: Any = None
-    # inference-only folded conv paths (see models/cnn.py)
-    fold_small_freq: bool = False
+    # bit-exact TPU-tiled conv paths with custom VJP (see models/cnn.py)
+    fast_conv: Any = True
 
     @property
     def _n_layers(self) -> int:
@@ -136,7 +136,7 @@ class CRNN(nn.Module):
             pooling=self.pooling,
             normalization=self.normalization,
             dtype=self.compute_dtype,
-            fold_small_freq=self.fold_small_freq,
+            fast_conv=self.fast_conv,
             name="cnn",
         )(x, train=bn_train)
         x = x.astype(jnp.float32)

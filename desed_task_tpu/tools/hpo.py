@@ -11,13 +11,27 @@ search modes are reproduced:
            (optuna_pretrained.py:99-109)
 
 Results are appended to a jsonl study log so interrupted studies resume.
+
+Study sharding (reference runs one Optuna worker process per visible GPU,
+optuna_pretrained.py:179-204): `run_study(..., n_workers=N,
+objective_spec="pkg.module:fn")` spawns N worker processes, each pinned to
+one accelerator (TPU_VISIBLE_DEVICES / CUDA_VISIBLE_DEVICES = worker index
+by default). Workers coordinate through the shared study directory: trial
+indices are claimed atomically (O_EXCL lock + counter), each trial's sampler
+is seeded by its claimed index, so the union of trials is deterministic
+regardless of which worker ran which trial. With optuna installed, workers
+instead share the sqlite storage exactly like the reference.
 """
 
 from __future__ import annotations
 
 import copy
 import json
+import os
 import random
+import subprocess
+import sys
+import time
 from pathlib import Path
 from typing import Callable
 
@@ -100,7 +114,151 @@ class _OptunaSuggest:
         return v
 
 
+class _StudyLock:
+    """Cross-process mutex via an O_CREAT|O_EXCL lock file."""
+
+    def __init__(self, path: Path):
+        self.path = path
+
+    def __enter__(self):
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                time.sleep(0.01)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def _claim_trial(log_path: Path, mode: str, n_trials: int) -> int | None:
+    """Atomically claim the next trial index; None when the study is full."""
+    counter = log_path / f"counter_{mode}"
+    with _StudyLock(log_path / f".lock_{mode}"):
+        idx = int(counter.read_text()) if counter.exists() else 0
+        if idx >= n_trials:
+            return None
+        counter.write_text(str(idx + 1))
+        return idx
+
+
+def _append_record(log_path: Path, mode: str, rec: dict) -> None:
+    with _StudyLock(log_path / f".lock_{mode}"):
+        with open(log_path / f"study_{mode}.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _resolve_objective(spec: str) -> Callable[[dict], float]:
+    """Import "pkg.module:fn" -> callable (worker processes re-import it)."""
+    import importlib
+
+    module, _, fn = spec.partition(":")
+    return getattr(importlib.import_module(module), fn)
+
+
+def run_worker(
+    config: dict,
+    objective_fn: Callable[[dict], float],
+    n_trials: int,
+    log_dir: str,
+    mode: str = "train",
+    seed: int = 42,
+) -> None:
+    """One study worker: claim trial indices until the study is full."""
+    sampler_fn = sample_params_train if mode == "train" else sample_params_eval
+    log_path = Path(log_dir)
+    log_path.mkdir(parents=True, exist_ok=True)
+    while True:
+        idx = _claim_trial(log_path, mode, n_trials)
+        if idx is None:
+            return
+        suggest = _RandomSuggest(random.Random(seed + idx))
+        trial_config = sampler_fn(config, suggest)
+        value = float(objective_fn(trial_config))
+        _append_record(
+            log_path, mode,
+            {"trial": idx, "params": suggest.params, "value": value,
+             "worker": os.environ.get("HPO_WORKER_INDEX", "0")},
+        )
+
+
+def _spawn_workers(
+    config: dict, objective_spec: str, n_trials: int, log_dir: str,
+    mode: str, seed: int, n_workers: int, worker_envs: list | None,
+) -> None:
+    """One process per accelerator, reference optuna_pretrained.py:179-204.
+
+    Default pinning exposes device i to worker i (TPU_VISIBLE_DEVICES /
+    CUDA_VISIBLE_DEVICES); pass explicit `worker_envs` dicts for pod slices.
+    """
+    cfg_file = Path(log_dir) / "hpo_config.json"
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    cfg_file.write_text(json.dumps(config))
+    code = (
+        "import json,sys;"
+        "from desed_task_tpu.tools.hpo import run_worker,_resolve_objective;"
+        "cfg=json.load(open(sys.argv[1]));"
+        "run_worker(cfg,_resolve_objective(sys.argv[2]),int(sys.argv[3]),"
+        "sys.argv[4],sys.argv[5],int(sys.argv[6]))"
+    )
+    procs = []
+    for i in range(n_workers):
+        env = dict(os.environ)
+        env["HPO_WORKER_INDEX"] = str(i)
+        env.setdefault("TPU_VISIBLE_DEVICES", str(i))
+        env.setdefault("CUDA_VISIBLE_DEVICES", str(i))
+        if worker_envs is not None:
+            env.update(worker_envs[i])
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code, str(cfg_file), objective_spec,
+             str(n_trials), str(log_dir), mode, str(seed)],
+            env=env,
+        ))
+    rcs = [p.wait() for p in procs]
+    if any(rcs):
+        raise RuntimeError(f"HPO workers failed with return codes {rcs}")
+
+
 def run_study(
+    config: dict,
+    objective_fn: Callable[[dict], float] | None,
+    n_trials: int,
+    log_dir: str,
+    mode: str = "train",
+    seed: int = 42,
+    n_workers: int = 1,
+    objective_spec: str | None = None,
+    worker_envs: list | None = None,
+) -> dict:
+    """Maximize objective_fn(config). Returns the best trial record.
+
+    n_workers > 1 shards the study over worker processes (one accelerator
+    each); the objective must then be importable via `objective_spec`
+    ("pkg.module:fn") since it runs in fresh processes."""
+    log_path = Path(log_dir)
+    if n_workers > 1:
+        if objective_spec is None:
+            raise ValueError("sharded studies need objective_spec='module:fn'")
+        _spawn_workers(config, objective_spec, n_trials, log_dir, mode, seed,
+                       n_workers, worker_envs)
+        records = [
+            json.loads(l)
+            for l in (log_path / f"study_{mode}.jsonl").read_text().splitlines()
+            if l
+        ]
+        best = max(records, key=lambda r: r["value"]) if records else None
+        if best:
+            (log_path / f"best_{mode}.json").write_text(json.dumps(best, indent=2))
+        return best
+    return _run_study_local(config, objective_fn, n_trials, log_dir, mode, seed)
+
+
+def _run_study_local(
     config: dict,
     objective_fn: Callable[[dict], float],
     n_trials: int,
@@ -108,7 +266,7 @@ def run_study(
     mode: str = "train",
     seed: int = 42,
 ) -> dict:
-    """Maximize objective_fn(config). Returns the best trial record."""
+    """Single-process study (optuna when importable, else random search)."""
     sampler_fn = sample_params_train if mode == "train" else sample_params_eval
     log_path = Path(log_dir)
     log_path.mkdir(parents=True, exist_ok=True)

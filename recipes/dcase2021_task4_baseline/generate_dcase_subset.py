@@ -1,9 +1,13 @@
 #!/usr/bin/env python
-"""Re-render synthetic soundscape subsets with modified parameters (parity
-with the reference generate_dcase_subset.py:137-414, which re-renders jams
-with modified SNR or target-class-only sources). Works from a soundbank with
-the scaper-equivalent generator; supports SNR overrides and restricting the
-foreground to a target class."""
+"""Re-render synthetic soundscape subsets from STORED per-soundscape
+metadata (parity with the reference generate_dcase_subset.py:137-414, which
+re-renders jams with modified SNR or target-class-only sources).
+
+The generator writes a jams-equivalent JSON next to each wav; this CLI
+re-renders those with non-target SNRs decreased (--db_decrease), non-target
+events dropped (--drop_nontarget), and/or the background removed
+(--no_background). Event tables are identical to the originals up to
+dropped rows — only gains change."""
 
 import argparse
 import sys
@@ -14,38 +18,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--meta_folder", required=True,
+                        help="folder with the generator's *.json metadata")
     parser.add_argument("--soundbank", required=True)
     parser.add_argument("--out_audio", required=True)
     parser.add_argument("--out_tsv", required=True)
-    parser.add_argument("--n_soundscapes", type=int, default=1000)
-    parser.add_argument("--snr_min", type=float, default=6.0)
-    parser.add_argument("--snr_max", type=float, default=30.0)
-    parser.add_argument("--target_class", default=None,
-                        help="restrict foreground events to one class")
-    parser.add_argument("--no_background", action="store_true",
-                        help="target-events-only rendering")
-    parser.add_argument("--seed", type=int, default=2021)
+    parser.add_argument("--db_decrease", type=float, default=0.0,
+                        help="dB to subtract from non-target event SNRs")
+    parser.add_argument("--target_class", action="append", default=None,
+                        help="target class(es); repeatable")
+    parser.add_argument("--drop_nontarget", action="store_true",
+                        help="remove non-target events instead of attenuating")
+    parser.add_argument("--no_background", action="store_true")
     args = parser.parse_args()
 
-    import shutil
-    import tempfile
-
-    from desed_task_tpu.tools.soundscapes import SoundscapeConfig, SoundscapeGenerator
+    from desed_task_tpu.tools.soundscapes import SoundscapeConfig, rerender_subset
 
     fg = Path(args.soundbank) / "foreground"
     bg = None if args.no_background else Path(args.soundbank) / "background"
-    if args.target_class:
-        # materialize a foreground view with only the target class
-        tmp = Path(tempfile.mkdtemp(prefix="subset_fg_"))
-        src = fg / args.target_class
-        if not src.exists():
-            raise SystemExit(f"class folder not found: {src}")
-        shutil.copytree(src, tmp / args.target_class)
-        fg = tmp
-    cfg = SoundscapeConfig(snr_range=(args.snr_min, args.snr_max))
-    gen = SoundscapeGenerator(fg, bg, cfg, seed=args.seed)
-    df = gen.generate(args.n_soundscapes, args.out_audio, args.out_tsv)
-    print(f"rendered {args.n_soundscapes} soundscapes "
+    df = rerender_subset(
+        args.meta_folder, fg, bg, args.out_audio, args.out_tsv,
+        cfg=SoundscapeConfig(),
+        db_decrease=args.db_decrease,
+        target_labels=args.target_class,
+        drop_nontarget=args.drop_nontarget,
+        keep_background=not args.no_background,
+    )
+    print(f"re-rendered {df['filename'].nunique()} soundscapes "
           f"({len(df.dropna())} events) -> {args.out_audio}")
 
 

@@ -156,3 +156,43 @@ def test_generate_cli_parses_and_degrades(year, tmp_path, monkeypatch, capsys):
     runpy.run_path(script, run_name="__main__")
     outp = capsys.readouterr().out
     assert "dataset layout at:" in outp
+
+
+def test_hpo_sharded_two_workers(tmp_path):
+    """Process-sharded study (reference: one Optuna worker per GPU,
+    optuna_pretrained.py:179-204): 2 workers claim disjoint trial indices
+    atomically, trials are seeded by index (deterministic union), and the
+    merged study log is complete."""
+    import json
+    import sys
+
+    # importable objective for the worker subprocesses
+    mod = tmp_path / "hpo_obj_mod.py"
+    mod.write_text(
+        "def objective(cfg):\n    return -abs(cfg['opt']['lr'] - 0.002)\n"
+    )
+    import os
+    env_path = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = f"{tmp_path}:{env_path}"
+    try:
+        config = {
+            "training": {"gradient_clip": 5.0, "n_epochs_warmup": 50},
+            "opt": {"lr": 1e-3},
+            "net": {
+                "dropout": 0.5, "dropstep_recurrent": 0.0,
+                "dropstep_recurrent_len": 5, "n_RNN_cell": 128,
+                "rnn_layers": 2, "median_filter": [7, 7, 7],
+            },
+        }
+        best = run_study(
+            config, None, 6, tmp_path / "study", mode="train",
+            n_workers=2, objective_spec="hpo_obj_mod:objective",
+        )
+    finally:
+        os.environ["PYTHONPATH"] = env_path
+    lines = (tmp_path / "study" / "study_train.jsonl").read_text().splitlines()
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 6
+    assert sorted(r["trial"] for r in recs) == list(range(6))  # no dupes
+    assert len({r["worker"] for r in recs}) >= 1
+    assert best is not None and best["value"] <= 0.0

@@ -232,3 +232,41 @@ def test_bilstm_matches_torch_lstm(rng):
     }
     out = model.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
+
+
+def test_fast_conv3x3_custom_vjp_exact():
+    """Folded / shift-add conv paths (custom VJP): forward AND all gradients
+    match the plain XLA conv to fp32 tolerance (the round-1 versions were
+    forward-only; docs/performance.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from desed_task_tpu.models.cnn import _plain_conv3x3, fast_conv3x3
+
+    rng = np.random.default_rng(5)
+    for path, (B, T, F, Cin, Cout) in [
+        ("folded", (3, 16, 8, 16, 32)),
+        ("folded", (2, 12, 4, 128, 128)),
+        ("shift_add", (3, 16, 24, 1, 16)),
+        ("shift_add", (2, 12, 128, 4, 8)),
+    ]:
+        x = jnp.asarray(rng.standard_normal((B, T, F, Cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(Cout) * 0.1, jnp.float32)
+        dy = jnp.asarray(rng.standard_normal((B, T, F, Cout)), jnp.float32)
+
+        ref = lambda x_, k_, b_: _plain_conv3x3(x_, k_) + b_
+        fast = lambda x_, k_, b_: fast_conv3x3(x_, k_, b_, path)
+
+        np.testing.assert_allclose(
+            np.asarray(fast(x, k, b)), np.asarray(ref(x, k, b)),
+            rtol=1e-5, atol=1e-5,
+        )
+        loss_ref = lambda *a: jnp.vdot(ref(*a), dy)
+        loss_fast = lambda *a: jnp.vdot(fast(*a), dy)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+        g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, k, b)
+        for a, c in zip(g_ref, g_fast):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4,
+            )
