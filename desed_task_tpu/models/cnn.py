@@ -148,10 +148,14 @@ class _Conv2dAuto(nn.Module):
     stride: int = 1
     pad: int = 1
     dtype: Any = None
-    fast: Any = True  # True | False | "folded" | "shift_add"
+    # True = fast paths at INFERENCE only (training A/B on v5e: folded -7%,
+    # shift_add -12% end-to-end even with the custom VJP — the banded dgrad
+    # rebuild + non-shared wgrad im2col cost more than the forward wins;
+    # docs/performance.md). "folded"/"shift_add" force a path in training too.
+    fast: Any = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -164,8 +168,9 @@ class _Conv2dAuto(nn.Module):
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
         is_same3x3 = self.kernel == 3 and self.stride == 1 and self.pad == 1
-        use_folded = self.fast in (True, "folded")
-        use_shift = self.fast in (True, "shift_add")
+        infer = not train
+        use_folded = self.fast == "folded" or (self.fast is True and infer)
+        use_shift = self.fast == "shift_add" or (self.fast is True and infer)
         if use_folded and is_same3x3 and x.shape[2] <= 8 and in_ch >= 8:
             return fast_conv3x3(x, kernel, bias, "folded")
         if use_shift and is_same3x3 and in_ch < 8:
@@ -195,8 +200,9 @@ class CNN(nn.Module):
     # computation dtype: jnp.bfloat16 feeds the MXU at 4x fp32 throughput on
     # v5e; params/BN stats stay fp32 (flax param_dtype default)
     dtype: Any = None
-    # bit-exact TPU-tiled conv paths (banded fold / shift-add) with custom
-    # VJP: True | False | "folded" | "shift_add"
+    # bit-exact TPU-tiled conv paths (banded fold / shift-add), custom VJP.
+    # True = inference-only auto (training measured slower on v5e);
+    # "folded"/"shift_add" force in training; False = always plain conv.
     fast_conv: Any = True
 
     @nn.compact
@@ -213,7 +219,7 @@ class CNN(nn.Module):
                 dtype=self.dtype,
                 fast=self.fast_conv,
                 name=f"conv{i}",
-            )(x)
+            )(x, train=train)
             if self.normalization == "batch":
                 x = nn.BatchNorm(
                     use_running_average=not train,
