@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.dropout import PackedDropout
+
 
 class GLU(nn.Module):
     dtype: Any = None
@@ -204,6 +206,9 @@ class CNN(nn.Module):
     # True = inference-only auto (training measured slower on v5e);
     # "folded"/"shift_add" force in training; False = always plain conv.
     fast_conv: Any = True
+    # packed-bits dropout masks (8 bits of entropy/element instead of a full
+    # uint32 word — 4x less RBG work + HBM; exact for rate 0.5, ops/dropout.py)
+    packed_dropout: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -243,7 +248,8 @@ class CNN(nn.Module):
             else:
                 raise ValueError(f"unknown activation {self.activation!r}")
             if self.conv_dropout > 0:
-                x = nn.Dropout(self.conv_dropout, deterministic=not train)(x)
+                drop = PackedDropout if self.packed_dropout else nn.Dropout
+                x = drop(self.conv_dropout, deterministic=not train)(x)
             pt, pf = self.pooling[i]
             x = nn.avg_pool(x, window_shape=(pt, pf), strides=(pt, pf), padding="VALID")
         return x

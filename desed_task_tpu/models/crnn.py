@@ -87,6 +87,8 @@ class CRNN(nn.Module):
     compute_dtype: Any = None
     # bit-exact TPU-tiled conv paths with custom VJP (see models/cnn.py)
     fast_conv: Any = True
+    # packed-bits conv-dropout masks (ops/dropout.py; exact for rate 0.5)
+    packed_dropout: bool = True
 
     @property
     def _n_layers(self) -> int:
@@ -137,6 +139,7 @@ class CRNN(nn.Module):
             normalization=self.normalization,
             dtype=self.compute_dtype,
             fast_conv=self.fast_conv,
+            packed_dropout=self.packed_dropout,
             name="cnn",
         )(x, train=bn_train)
         x = x.astype(jnp.float32)

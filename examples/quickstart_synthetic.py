@@ -178,7 +178,7 @@ def main():
     print("[3/3] dev-test results:")
     for k, v in results.items():
         if isinstance(v, float):
-        print(f"  {k}: {v:.4f}")
+            print(f"  {k}: {v:.4f}")
 
 
 if __name__ == "__main__":
