@@ -31,6 +31,31 @@ def download_from_url(url: str, destination, chunk_size: int = 1 << 20) -> str:
     return str(destination)
 
 
+def audit_missing_files(meta_tsv, audio_folder, out_tsv) -> "pd.DataFrame":
+    """Record metadata clips absent from disk to a recovery tsv.
+
+    Parity with the reference's missing-file bookkeeping after YouTube-sourced
+    downloads (generate_dcase_task4_2024.py:183-222 /
+    desed.download_audioset_files_from_csv missing_files_tsv): clips listed in
+    `meta_tsv` but with no wav in `audio_folder` are written to `out_tsv`
+    (one `filename` per row, deduplicated, original order) so the user can
+    re-download or send the list to the task organisers. Returns the missing
+    rows; writes nothing when nothing is missing.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(meta_tsv, sep="\t")
+    col = "filename" if "filename" in df.columns else df.columns[0]
+    present = {p.name for p in Path(audio_folder).glob("*.wav")}
+    names = df[col].astype(str).map(lambda s: Path(s).name)
+    missing = df[~names.isin(present)].drop_duplicates(subset=[col])
+    if len(missing):
+        out = Path(out_tsv)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        missing.to_csv(out, sep="\t", index=False)
+    return missing
+
+
 def generate_tsv_wav_durations(audio_dir, out_tsv) -> "pd.DataFrame":
     """Write a filename/duration tsv for a folder of wavs (parity with
     recipes/*/local/utils.py generate_tsv_wav_durations :204), using the

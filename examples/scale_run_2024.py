@@ -1,0 +1,309 @@
+#!/usr/bin/env python
+"""Flagship-scale 2024-config rehearsal on self-generated data.
+
+The closest learning-at-scale demonstration available without dataset egress
+(VERDICT round 1, item 6): thousands of generated soundscapes through the
+FULL 2024 flagship configuration — 27-class CatManyHotEncoder, five batch
+slots [maestro, synth, strong, weak, unlabeled] = [12, 6, 6, 12, 24],
+frame-level BEATs embeddings fused via pool1d aggregation, dropstep, per-class
+median filters, mean-teacher semi-supervision, PSDS-family validation every
+10 epochs, and the dev-test battery with PSD-ROC plots.
+
+Classes are procedurally synthesized timbres (distinct per class), so a real
+model separates them; BEATs runs with randomly initialized weights (the
+released checkpoint cannot be downloaded in this environment — the fusion
+path is exercised end-to-end, the embeddings just carry less information).
+
+Phases (runnable separately; generate is CPU-only, extract/train use the TPU):
+    python examples/scale_run_2024.py --workdir /tmp/scale --phase generate
+    python examples/scale_run_2024.py --workdir /tmp/scale --phase extract
+    python examples/scale_run_2024.py --workdir /tmp/scale --phase train \
+        [--epochs 200]
+
+Reference anchors: recipes/dcase2024_task4_baseline/train_pretrained.py
+(single_run), extract_embeddings.py, confs/pretrained.yaml.
+"""
+
+import argparse
+import json
+import sys
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+FS = 16000
+
+DESED_CLASSES = [
+    "Alarm_bell_ringing", "Blender", "Cat", "Dishes", "Dog",
+    "Electric_shaver_toothbrush", "Frying", "Running_water", "Speech",
+    "Vacuum_cleaner",
+]
+# maestro classes we synthesize: the 11 evaluated ones + 3 extra (folder-safe
+# names only; 'door opens/closes' etc. stay label-only in the 27-class encoder)
+MAESTRO_CLASSES = [
+    "birds_singing", "brakes_squeaking", "car", "children voices",
+    "cutlery and dishes", "footsteps", "large_vehicle", "metro approaching",
+    "metro leaving", "people talking", "wind_blowing",
+    "coffee machine", "announcement", "shopping cart",
+]
+MAESTRO_SCENES = [
+    "cafe_restaurant", "city_center", "grocery_store", "metro_station",
+    "residential_area",
+]
+
+
+def synth_event(class_idx: int, dur: float, rng: np.random.Generator):
+    """Procedural per-class timbre: each class gets a distinct deterministic
+    (carrier, AM rate, FM depth, noise mix, envelope) signature; variants
+    jitter around it."""
+    t = np.arange(int(dur * FS)) / FS
+    g = np.random.default_rng(class_idx * 7919 + 13)  # class signature
+    f0 = g.uniform(80, 3000)
+    am = g.uniform(0.0, 14.0)
+    fm_rate = g.uniform(0.2, 8.0)
+    fm_depth = g.uniform(0.0, 0.4) * f0
+    noise_mix = g.uniform(0.0, 0.8)
+    decay = g.uniform(0.0, 6.0)
+    square = g.random() < 0.3
+    # per-variant jitter
+    f = f0 * rng.uniform(0.95, 1.05)
+    phase = 2 * np.pi * (f * t + fm_depth / (2 * np.pi * fm_rate + 1e-9)
+                         * np.sin(2 * np.pi * fm_rate * t))
+    tone = np.sign(np.sin(phase)) if square else np.sin(phase)
+    if am > 0:
+        tone = tone * (0.5 + 0.5 * np.sign(np.sin(2 * np.pi * am * t)))
+    x = (1 - noise_mix) * tone + noise_mix * rng.standard_normal(t.shape)
+    if decay > 0:
+        x = x * np.exp(-decay * (t % max(dur / 3, 0.25)))
+    x = x.astype(np.float32)
+    return x * (0.3 / (np.abs(x).max() + 1e-6))
+
+
+def make_soundbank(root: Path, classes, n_variants=10, seed=0):
+    from desed_task_tpu.data import write_wav
+
+    rng = np.random.default_rng(seed)
+    fg = root / "foreground"
+    bg = root / "background"
+    bg.mkdir(parents=True, exist_ok=True)
+    for ci, name in enumerate(classes):
+        d = fg / name
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n_variants):
+            dur = rng.uniform(0.5, 4.0)
+            write_wav(d / f"{name.replace(' ', '_')}_{i}.wav",
+                      synth_event(ci, dur, rng), FS)
+    for i in range(6):
+        kind = i % 3
+        n = FS * 15
+        if kind == 0:
+            x = rng.standard_normal(n) * 0.02
+        elif kind == 1:  # low rumble
+            x = np.cumsum(rng.standard_normal(n)) / 120.0
+            x = x - np.linspace(x[0], x[-1], n)
+        else:  # hum + noise
+            t = np.arange(n) / FS
+            x = 0.01 * np.sin(2 * np.pi * 50 * t) + 0.01 * rng.standard_normal(n)
+        write_wav(bg / f"bg_{i}.wav", x.astype(np.float32) * 0.5, FS)
+    return root
+
+
+def _gen_split(task):
+    """Worker: generate one split (runs in its own process, CPU only)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from desed_task_tpu.tools.soundscapes import (
+        SoundscapeConfig,
+        SoundscapeGenerator,
+    )
+
+    root, soundbank, split, n, seed, maestro = (
+        Path(task["root"]), Path(task["soundbank"]), task["split"],
+        task["n"], task["seed"], task["maestro"],
+    )
+    fg = soundbank / ("maestro_fg" if maestro else "desed_fg") / "foreground"
+    gen = SoundscapeGenerator(
+        fg, soundbank / ("maestro_fg" if maestro else "desed_fg") / "background",
+        SoundscapeConfig(duration=10.0), seed=seed,
+    )
+    out_audio = root / "audio" / split
+    tsv_path = root / "meta" / f"{split}.tsv"
+    df = gen.generate(n, out_audio, tsv_path)
+    if maestro:
+        # rename to MAESTRO window convention {scene}_{idx}-{on}-{off}.wav
+        # and add soft-label confidence
+        import pandas as pd
+
+        rng = np.random.default_rng(seed + 999)
+        mapping = {}
+        for i, f in enumerate(sorted(out_audio.glob("*.wav"))):
+            scene = MAESTRO_SCENES[i % len(MAESTRO_SCENES)]
+            new = f"{scene}_{i // len(MAESTRO_SCENES):03d}-000000-001000.wav"
+            f.rename(out_audio / new)
+            mapping[f.name] = new
+        df = pd.read_csv(tsv_path, sep="\t").dropna(subset=["event_label"])
+        df["filename"] = df["filename"].map(mapping)
+        df["confidence"] = rng.uniform(0.6, 1.0, len(df)).round(3)
+        df.to_csv(tsv_path, sep="\t", index=False)
+    return split, n
+
+
+def phase_generate(root: Path, scale: float = 1.0):
+    sb = root / "soundbank"
+    make_soundbank(sb / "desed_fg", DESED_CLASSES, seed=0)
+    make_soundbank(sb / "maestro_fg", MAESTRO_CLASSES, seed=1)
+    (root / "meta").mkdir(parents=True, exist_ok=True)
+    splits = [
+        # (split, n, seed, maestro?)
+        ("synth", int(1500 * scale), 10, False),
+        ("strong", int(500 * scale), 11, False),
+        ("weak", int(1000 * scale), 12, False),
+        ("unlab", int(1500 * scale), 13, False),
+        ("synth_val", int(400 * scale), 14, False),
+        ("devtest", int(400 * scale), 15, False),
+        ("maestro_train", int(600 * scale), 16, True),
+        ("maestro_val", int(150 * scale), 17, True),
+    ]
+    tasks = [
+        dict(root=str(root), soundbank=str(sb), split=s, n=n, seed=sd, maestro=m)
+        for s, n, sd, m in splits
+    ]
+    with ProcessPoolExecutor(max_workers=len(tasks)) as pool:
+        for split, n in pool.map(_gen_split, tasks):
+            print(f"[generate] {split}: {n} soundscapes", flush=True)
+
+    import pandas as pd
+
+    # weak tsv: clip-level labels from the strong annotations
+    weak_df = pd.read_csv(root / "meta" / "weak.tsv", sep="\t").dropna()
+    weak_labels = (
+        weak_df.groupby("filename")["event_label"]
+        .apply(lambda s: ",".join(sorted(set(s))))
+        .reset_index()
+        .rename(columns={"event_label": "event_labels"})
+    )
+    weak_labels.to_csv(root / "meta" / "weak.tsv", sep="\t", index=False)
+    for split in ("synth_val", "devtest"):
+        files = sorted((root / "audio" / split).glob("*.wav"))
+        pd.DataFrame(
+            [(f.name, 10.0) for f in files], columns=["filename", "duration"]
+        ).to_csv(root / "meta" / f"{split}_dur.tsv", sep="\t", index=False)
+    print("[generate] done", flush=True)
+
+
+def phase_extract(root: Path):
+    from desed_task_tpu.tools.embeddings import extract_splits
+
+    # split keys must match single_run's _emb_file lookups
+    split_folders = {
+        "synth_train": str(root / "audio" / "synth"),
+        "strong_train": str(root / "audio" / "strong"),
+        "weak_train": str(root / "audio" / "weak"),
+        "unlabeled_train": str(root / "audio" / "unlab"),
+        "synth_val": str(root / "audio" / "synth_val"),
+        "devtest": str(root / "audio" / "devtest"),
+        "maestro_real_train": str(root / "audio" / "maestro_train"),
+        "maestro_real_val": str(root / "audio" / "maestro_val"),
+    }
+    extract_splits("beats", None, split_folders, str(root / "embeddings"),
+                   batch_size=32)
+
+
+def build_config(root: Path, epochs: int) -> dict:
+    from desed_task_tpu.recipes_config import CRNN_2024_NET, MEDIAN_2024
+
+    net = dict(CRNN_2024_NET)
+    net["median_filter"] = MEDIAN_2024
+    return {
+        "training": {
+            "batch_size": [12, 6, 6, 12, 24],  # pretrained.yaml:8
+            "batch_size_val": 24,
+            "const_max": 2,
+            "n_epochs_warmup": 50,
+            "num_workers": 6,
+            "n_epochs": epochs,
+            "gradient_clip": 5.0,
+            "n_test_thresholds": 50,
+            "ema_factor": 0.999,
+            "self_sup_loss": "mse",
+            "validation_interval": 10,
+            "weak_split": 0.9,
+            "maestro_split": 0.9,
+            "seed": 42,
+            "mixup": "soft",
+            "mixup_prob": 0.5,
+            "obj_metric_synth_type": "intersection",
+        },
+        "scaler": {"statistic": "instance", "normtype": "minmax", "dims": [1, 2]},
+        "data": {
+            "synth_folder": str(root / "audio" / "synth"),
+            "synth_tsv": str(root / "meta" / "synth.tsv"),
+            "strong_folder": str(root / "audio" / "strong"),
+            "strong_tsv": str(root / "meta" / "strong.tsv"),
+            "weak_folder": str(root / "audio" / "weak"),
+            "weak_tsv": str(root / "meta" / "weak.tsv"),
+            "unlabeled_folder": str(root / "audio" / "unlab"),
+            "real_maestro_train_folder": str(root / "audio" / "maestro_train"),
+            "real_maestro_train_tsv": str(root / "meta" / "maestro_train.tsv"),
+            "real_maestro_val_folder": str(root / "audio" / "maestro_val"),
+            "real_maestro_val_tsv": str(root / "meta" / "maestro_val.tsv"),
+            "synth_val_folder": str(root / "audio" / "synth_val"),
+            "synth_val_tsv": str(root / "meta" / "synth_val.tsv"),
+            "synth_val_dur": str(root / "meta" / "synth_val_dur.tsv"),
+            "test_folder": str(root / "audio" / "devtest"),
+            "test_tsv": str(root / "meta" / "devtest.tsv"),
+            "test_dur": str(root / "meta" / "devtest_dur.tsv"),
+            "audio_max_len": 10,
+            "fs": FS,
+            "net_subsample": 4,
+        },
+        "opt": {"lr": 0.001},
+        "feats": {
+            "n_mels": 128, "n_filters": 2048, "hop_length": 256,
+            "n_window": 2048, "sample_rate": FS, "f_min": 0, "f_max": 8000,
+        },
+        "pretrained": {
+            "model": "beats",
+            "e2e": False,
+            "freezed": True,
+            "extracted_embeddings_dir": str(root / "embeddings"),
+        },
+        "net": net,
+    }
+
+
+def phase_train(root: Path, epochs: int):
+    from desed_task_tpu.training.single_run import single_run
+
+    config = build_config(root, epochs)
+    exp = root / "exp"
+    state, results = single_run(config, str(exp))
+    out = {k: v for k, v in (results or {}).items() if isinstance(v, float)}
+    (exp / "test_results.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--phase", choices=["generate", "extract", "train", "all"],
+                   default="all")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="corpus size multiplier")
+    args = p.parse_args()
+    root = Path(args.workdir)
+    if args.phase in ("generate", "all"):
+        phase_generate(root, args.scale)
+    if args.phase in ("extract", "all"):
+        phase_extract(root)
+    if args.phase in ("train", "all"):
+        phase_train(root, args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,44 @@ def stage_maestro(maestro_dir, basedir):
     print(f"[maestro] {len(audio)} files windowed -> {out_audio}")
 
 
+def stage_audit(basedir):
+    """Missing-file bookkeeping (reference generate_dcase_task4_2024.py:183-222):
+    for every YouTube-sourced subset with metadata on disk, write
+    missing_files/missing_files_<subset>.tsv listing clips the download did
+    not fetch, and print the reference's recovery instructions."""
+    from desed_task_tpu.tools.download import audit_missing_files
+
+    base = Path(basedir)
+    subsets = {
+        "weak": ("metadata/train/weak.tsv", "audio/train/weak"),
+        "unlabel_in_domain": (
+            "metadata/train/unlabel_in_domain.tsv", "audio/train/unlabel_in_domain",
+        ),
+        "validation": ("metadata/validation/validation.tsv", "audio/validation"),
+        "strong_label_real": (
+            "metadata/train/audioset_strong.tsv", "audio/train/strong_label_real",
+        ),
+    }
+    any_missing = False
+    for name, (meta, audio) in subsets.items():
+        meta_path, audio_path = base / meta, base / audio
+        if not meta_path.exists():
+            continue
+        out = Path("missing_files") / f"missing_files_{name}.tsv"
+        missing = audit_missing_files(meta_path, audio_path, out)
+        if len(missing):
+            any_missing = True
+            print(f"[audit] {name}: {len(missing)} missing clips -> {out}")
+    if any_missing:
+        print(
+            "[audit] you have missing files; retry the download "
+            "(desed.download_audioset_data) or send the missing_files_*.tsv "
+            "to the task organisers to obtain them"
+        )
+    else:
+        print("[audit] no missing files")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--basedir", default="../../data/dcase/dataset")
@@ -103,7 +141,7 @@ def main():
     parser.add_argument("--maestro_dir", default=None)
     parser.add_argument("--n_soundscapes", type=int, default=10000)
     parser.add_argument("--stage", nargs="*", default=["all"],
-                        choices=["all", "real", "strong", "synth", "maestro"])
+                        choices=["all", "real", "strong", "synth", "maestro", "audit"])
     args = parser.parse_args()
     stages = set(args.stage)
     run_all = "all" in stages
@@ -115,6 +153,8 @@ def main():
         stage_synth(args.basedir, args.soundbank, args.n_soundscapes)
     if run_all or "maestro" in stages:
         stage_maestro(args.maestro_dir, args.basedir)
+    if run_all or "audit" in stages:
+        stage_audit(args.basedir)
 
 
 if __name__ == "__main__":

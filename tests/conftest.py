@@ -29,6 +29,38 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tiered suite: integration tests (full train loops / recipes / multi-device
+# steps, >=15 s each on a 1-core box) carry the `slow` marker so
+# `pytest -m "not slow"` is a fast (<~3 min) correctness tier. Measured via
+# --durations; keep this list in sync when adding heavy tests.
+_SLOW_MODULES = {
+    "test_train_loop",
+    "test_single_run",
+    "test_sepsed_run",
+}
+_SLOW_TESTS = {
+    "test_train_step_data_parallel_8dev",
+    "test_train_step_runs_and_learns",
+    "test_sepsed_train_step",
+    "test_sharded_step_matches_jit_collective_count",
+    "test_ema_alpha_schedule_and_teacher_tracks_student",
+    "test_e2e_embedder_in_train_step",
+    "test_accumulate_different_micros_runs_and_learns",
+    "test_2021_style_config_runs",
+    "test_accumulate_grads_match_full_batch",
+    "test_accumulate_sharded_8dev",
+    "test_panns_conversion_runs",
+    "test_crnn_train_mode_runs_with_rngs",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -196,3 +196,35 @@ def test_hpo_sharded_two_workers(tmp_path):
     assert sorted(r["trial"] for r in recs) == list(range(6))  # no dupes
     assert len({r["worker"] for r in recs}) >= 1
     assert best is not None and best["value"] <= 0.0
+
+
+def test_audit_missing_files(tmp_path):
+    """Missing-YouTube-clip bookkeeping (reference
+    generate_dcase_task4_2024.py:183-222): clips in the metadata tsv but not
+    on disk are written to a recovery tsv."""
+    import numpy as np
+    import pandas as pd
+
+    from desed_task_tpu.data import write_wav
+    from desed_task_tpu.tools.download import audit_missing_files
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    for name in ("a.wav", "b.wav"):
+        write_wav(audio / name, np.zeros(160, np.float32), 16000)
+    meta = pd.DataFrame(
+        {"filename": ["a.wav", "b.wav", "gone.wav", "gone.wav"],
+         "event_labels": ["Dog", "Cat", "Speech", "Dog"]}
+    )
+    meta_tsv = tmp_path / "weak.tsv"
+    meta.to_csv(meta_tsv, sep="\t", index=False)
+    out = tmp_path / "missing" / "missing_files_weak.tsv"
+    missing = audit_missing_files(meta_tsv, audio, out)
+    assert list(missing["filename"]) == ["gone.wav"]  # deduplicated
+    assert out.exists()
+    # nothing missing -> no file written
+    out2 = tmp_path / "missing" / "none.tsv"
+    meta_ok = meta[meta.filename != "gone.wav"]
+    meta_ok.to_csv(meta_tsv, sep="\t", index=False)
+    assert len(audit_missing_files(meta_tsv, audio, out2)) == 0
+    assert not out2.exists()

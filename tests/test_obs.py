@@ -70,10 +70,14 @@ def test_compiled_flops_matmul():
 def test_macs_close_to_published_2023():
     """Analytic XLA cost vs the published THOP count for the 2023 CRNN on
     10 s audio (930.902 MMACs, 2023 README:226). Counting conventions differ
-    (THOP includes BN/pool elementwise MACs); agree within 15%."""
+    (THOP includes BN/pool elementwise MACs); agree within 15%.
+
+    fast_conv=False: the published number counts the standard convolution;
+    the folded inference path trades extra (zero-band) MACs for TPU tiling,
+    so its compiled-cost count is legitimately higher (~1215 MMACs)."""
     from desed_task_tpu.recipes_config import crnn_2023
 
-    model = crnn_2023()
+    model = crnn_2023(fast_conv=False)
     x = jnp.zeros((1, 128, 626), jnp.float32)
     v = model.init({"params": jax.random.key(0)}, x, train=False)
     cost = compiled_flops(lambda x: model.apply(v, x, train=False), x)
