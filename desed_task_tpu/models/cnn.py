@@ -187,6 +187,58 @@ class _Conv2dAuto(nn.Module):
         return out + bias
 
 
+class _ConvP(nn.Module):
+    """Parameter holder matching _Conv2dAuto's tree (conv{i}/kernel, bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, in_ch, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _BNP(nn.Module):
+    """Parameter/stats holder matching nn.BatchNorm's tree."""
+
+    @nn.compact
+    def __call__(self, feats: int):
+        scale = self.param("scale", nn.initializers.ones, (feats,))
+        bias = self.param("bias", nn.initializers.zeros, (feats,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feats,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feats,), jnp.float32)
+        )
+        return scale, bias, mean, var
+
+
+class _DenseP(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _GLUP(nn.Module):
+    """Matches GLU's tree: glu{i}/Dense_0/{kernel, bias}."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseP(self.features, name="Dense_0")()
+
+
 class CNN(nn.Module):
     """Input [B, T, F, n_in_channel] -> [B, T', F', C_last]."""
 
@@ -209,12 +261,39 @@ class CNN(nn.Module):
     # packed-bits dropout masks (8 bits of entropy/element instead of a full
     # uint32 word — 4x less RBG work + HBM; exact for rate 0.5, ops/dropout.py)
     packed_dropout: bool = True
+    # fused Pallas block kernels (ops/pallas_cnn.py): conv+BN+GLU+dropout+pool
+    # in two kernels per block. None = auto (on for bf16 compute on TPU, the
+    # perf path; fp32 stays on the golden XLA chain). True/False force;
+    # "interpret" runs the kernels in interpreter mode (CPU tests).
+    fused_blocks: Any = None
+
+    def _use_fused(self, i: int) -> bool:
+        mode = self.fused_blocks
+        if mode is None:
+            import jax as _jax
+
+            mode = (
+                self.dtype == jnp.bfloat16
+                and _jax.default_backend() == "tpu"
+            )
+        if not mode:
+            return False
+        return (
+            self.activation.lower() == "glu"
+            and self.normalization == "batch"
+            and self.kernel_size[i] == 3
+            and self.stride[i] == 1
+            and self.padding[i] == 1
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i, filters in enumerate(self.nb_filters):
+            if self._use_fused(i):
+                x = self._fused_block(x, i, filters, train)
+                continue
             k, s, p = self.kernel_size[i], self.stride[i], self.padding[i]
             x = _Conv2dAuto(
                 features=filters,
@@ -253,3 +332,29 @@ class CNN(nn.Module):
             pt, pf = self.pooling[i]
             x = nn.avg_pool(x, window_shape=(pt, pf), strides=(pt, pf), padding="VALID")
         return x
+
+    def _fused_block(self, x, i: int, filters: int, train: bool):
+        """conv+BN+GLU+dropout+pool via ops/pallas_cnn.fused_glu_block with
+        the exact parameter tree of the unfused chain (checkpoint compatible)."""
+        from ..ops.pallas_cnn import fused_glu_block
+
+        kern, cbias = _ConvP(filters, name=f"conv{i}")(x.shape[-1])
+        scale, bbias, ra_m, ra_v = _BNP(name=f"batchnorm{i}")(filters)
+        wg, bg = _GLUP(filters, name=f"glu{i}")()
+        key = None
+        if train and self.conv_dropout > 0:
+            key = self.make_rng("dropout")
+        z, new_m, new_v = fused_glu_block(
+            x, kern, cbias, scale, bbias, ra_m.value, ra_v.value, wg, bg,
+            pool=tuple(self.pooling[i]),
+            train=train,
+            dropout_rate=self.conv_dropout if train else 0.0,
+            dropout_key=key,
+            eps=1e-3,
+            momentum=0.01,  # torch momentum 0.99 (flax convention)
+            interpret=self.fused_blocks == "interpret",
+        )
+        if train and not self.is_initializing():
+            ra_m.value = new_m
+            ra_v.value = new_v
+        return z

@@ -89,6 +89,8 @@ class CRNN(nn.Module):
     fast_conv: Any = True
     # packed-bits conv-dropout masks (ops/dropout.py; exact for rate 0.5)
     packed_dropout: bool = True
+    # fused Pallas conv-block kernels (ops/pallas_cnn.py); None = auto
+    fused_blocks: Any = None
 
     @property
     def _n_layers(self) -> int:
@@ -140,6 +142,7 @@ class CRNN(nn.Module):
             dtype=self.compute_dtype,
             fast_conv=self.fast_conv,
             packed_dropout=self.packed_dropout,
+            fused_blocks=self.fused_blocks,
             name="cnn",
         )(x, train=bn_train)
         x = x.astype(jnp.float32)

@@ -97,16 +97,21 @@ def extract_folder(
     if not wav_files:
         raise ValueError("no wav files to extract")
 
+    # variables must be a jit ARGUMENT: closing over them embeds the full
+    # parameter set as HLO literals, which overflows the remote-compile
+    # relay's request limit on tunneled TPUs (HTTP 413) and bloats caches.
     @jax.jit
-    def forward(audio):
+    def forward(variables, audio):
         x = preprocess(audio) if preprocess is not None else audio
         return model.apply(variables, x)
+
+    variables = jax.device_put(variables)
 
     def load(path):
         audio, *_ = read_audio(path, pad_to=pad_to, test=True)
         return audio
 
-    first = forward(jnp.zeros((batch_size, pad_to), jnp.float32))
+    first = forward(variables, jnp.zeros((batch_size, pad_to), jnp.float32))
     g_dim = first["global"].shape[-1]
     f_shape = first["frame"].shape[1:]
 
@@ -128,7 +133,7 @@ def extract_folder(
                     audio = np.concatenate(
                         [audio, np.zeros((batch_size - len(chunk), pad_to), np.float32)]
                     )
-                out = forward(jnp.asarray(audio))
+                out = forward(variables, jnp.asarray(audio))
                 g = np.asarray(out["global"])[: len(chunk)]
                 fr = np.asarray(out["frame"])[: len(chunk)]
                 g_ds[start : start + len(chunk)] = g

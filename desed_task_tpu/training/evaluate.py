@@ -307,6 +307,16 @@ def run_test(
                      title=f"PSDS scenario 1 = {psds1:.4f}")
         plot_psd_roc(ev2, ops, 0.5, 1, filename=d / "PSDS_scenario2_roc.png",
                      title=f"PSDS scenario 2 = {psds2:.4f}")
+        # per-threshold prediction dumps, reference layout
+        # (evaluation_measures.py:232-245)
+        for dtc, gtc, cttc in ((0.7, 0.7, 0.3), (0.1, 0.1, 0.3)):
+            pred_dir = d / f"predictions_dtc{dtc}_gtc{gtc}_cttc{cttc}"
+            pred_dir.mkdir(exist_ok=True)
+            for th in thresholds[:-1]:
+                dfs[th].to_csv(
+                    pred_dir / f"predictions_th_{th:.2f}.tsv",
+                    sep="\t", index=False,
+                )
     # threshold-free "sed score" variants on the postprocessed score curves
     # (exact change-point PSDS, reference evaluation_measures.py:258-303 /
     # sed_trainer_pretrained.py test battery)

@@ -34,6 +34,8 @@ def build(variant: str):
         kwargs["fast_conv"] = variant
     elif variant == "unpacked":
         kwargs["packed_dropout"] = False
+    elif variant == "nofused":
+        kwargs["fused_blocks"] = False
     model = crnn_2024(**kwargs)
     n_class, t_lab = 27, 156
     rng = np.random.default_rng(0)

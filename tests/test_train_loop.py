@@ -148,11 +148,19 @@ def test_full_training_pipeline(corpus, tmp_path):
     results = run_test(
         predict, final_state, val_set, ENC, val_tsv, val_dur,
         batch_size=4, n_thresholds=5, median_filter=[3, 3, 3],
-        desed_classes=CLASSES,
+        desed_classes=CLASSES, save_dir=tmp_path / "figs",
     )
     for k in ("psds1", "psds2", "intersection_f1_macro", "event_f1_macro"):
         assert 0.0 <= results[k] <= 1.0
     assert len(results["scores_postprocessed"]) == 6
+    # reference save layout: ROC pngs + per-threshold prediction dumps
+    assert (tmp_path / "figs" / "PSDS_scenario1_roc.png").exists()
+    dumped = list(
+        (tmp_path / "figs" / "predictions_dtc0.7_gtc0.7_cttc0.3").glob(
+            "predictions_th_*.tsv"
+        )
+    )
+    assert len(dumped) == 5
 
 
 def test_train_loop_gradient_accumulation(corpus, tmp_path):
