@@ -2,11 +2,21 @@
 
 The reference reports training/inference kWh as a first-class DCASE metric
 (sed_trainer_pretrained.py:171-181, 1332-1363). CodeCarbon is not available
-here and cannot measure TPUs anyway, so this tracker integrates wall-clock
-device-busy time against a configurable board power model and clearly labels
-the result as a model-based estimate.
+here and cannot measure TPUs anyway, so this tracker integrates time against
+a configurable board power model and clearly labels the result as a
+model-based estimate.
 
-Default power model: TPU v5e chip ~200 W board power + host share ~100 W.
+Duty-cycle calibration (round-2): wall-clock x full board power overstates
+energy whenever the device idles (host-side validation, checkpointing, data
+stalls). Callers record the train-step phases via ``record_busy``; busy time
+bills at ``device_watts``, the remaining wall time at ``idle_fraction *
+device_watts``. The busy phase is itself an upper bound on device activity
+(a data-stalled step still bills as busy), so the estimate brackets the true
+draw from above; the json report carries both components so readers can
+re-derive under their own power assumptions.
+
+Default power model: TPU v5e chip ~200 W board power + host share ~100 W
+(order-of-magnitude figures; override per deployment).
 """
 
 from __future__ import annotations
@@ -23,19 +33,26 @@ class EnergyTracker:
         device_watts: float = 200.0,
         host_watts: float = 100.0,
         n_devices: int = 1,
+        idle_fraction: float = 0.15,
         out_dir=None,
     ):
         self.name = name
         self.device_watts = device_watts
         self.host_watts = host_watts
         self.n_devices = n_devices
+        self.idle_fraction = idle_fraction
         self.out_dir = Path(out_dir) if out_dir else None
         self._start = None
         self._elapsed = 0.0
+        self._busy = 0.0
 
     def start(self):
         self._start = time.monotonic()
         return self
+
+    def record_busy(self, seconds: float):
+        """Accumulate device-busy seconds (train-step phases)."""
+        self._busy += float(seconds)
 
     def stop(self) -> float:
         """Returns estimated kWh; also writes a json report if out_dir set."""
@@ -50,11 +67,18 @@ class EnergyTracker:
                     {
                         "name": self.name,
                         "elapsed_s": self._elapsed,
+                        "busy_s": self._busy,
                         "device_watts": self.device_watts,
                         "host_watts": self.host_watts,
+                        "idle_fraction": self.idle_fraction,
                         "n_devices": self.n_devices,
                         "estimated_kwh": kwh,
-                        "note": "model-based estimate (wall-clock x power model)",
+                        "note": (
+                            "model-based estimate: busy time at device_watts,"
+                            " idle wall time at idle_fraction*device_watts,"
+                            " host_watts throughout; busy is an upper bound"
+                            " on device activity"
+                        ),
                     }
                 )
             )
@@ -65,5 +89,12 @@ class EnergyTracker:
         elapsed = self._elapsed
         if self._start is not None:
             elapsed += time.monotonic() - self._start
-        watts = self.device_watts * self.n_devices + self.host_watts
-        return elapsed * watts / 3600.0 / 1000.0
+        busy = min(self._busy, elapsed)
+        if self._busy == 0.0:
+            busy = elapsed  # no duty-cycle info: bill everything as busy
+        idle = elapsed - busy
+        device_j = self.device_watts * self.n_devices * (
+            busy + self.idle_fraction * idle
+        )
+        host_j = self.host_watts * elapsed
+        return (device_j + host_j) / 3600.0 / 1000.0

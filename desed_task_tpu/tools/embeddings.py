@@ -87,8 +87,14 @@ def extract_folder(
     pad_to: int = 160000,
     num_workers: int = 6,
     preprocess=None,  # e.g. kaldi fbank for AST
+    dtype: str = "float32",
 ):
-    """Run the embedder over wav files and write the HDF5 store."""
+    """Run the embedder over wav files and write the HDF5 store.
+
+    dtype: on-disk embedding dtype. "float16" halves store size and train-time
+    read bandwidth (frame embeddings dominate the data path); readers
+    (_EmbeddingStore.get) convert back to float32.
+    """
     import h5py
 
     from ..data.audio_io import read_audio
@@ -117,10 +123,10 @@ def extract_folder(
 
     with h5py.File(out_hdf5, "w") as f:
         g_ds = f.create_dataset(
-            "global_embeddings", (len(wav_files), g_dim), dtype="float32"
+            "global_embeddings", (len(wav_files), g_dim), dtype=dtype
         )
         f_ds = f.create_dataset(
-            "frame_embeddings", (len(wav_files), *f_shape), dtype="float32"
+            "frame_embeddings", (len(wav_files), *f_shape), dtype=dtype
         )
         names = f.create_dataset(
             "filenames", (len(wav_files),), dtype=h5py.string_dtype()
@@ -151,6 +157,7 @@ def extract_splits(
     fs: int = 16000,
     audio_len: float = 10.0,
     batch_size: int = 32,
+    dtype: str = "float32",
 ):
     """Extract every split folder into output_dir/<embedder>/<split>.hdf5."""
     model, variables = build_embedder(embedder_name, checkpoint)
@@ -172,7 +179,7 @@ def extract_splits(
         extract_folder(
             model, variables, wavs, str(out),
             batch_size=batch_size, pad_to=int(audio_len * fs),
-            preprocess=preprocess,
+            preprocess=preprocess, dtype=dtype,
         )
         results[split] = str(out)
     return results

@@ -108,6 +108,9 @@ class TrainLoop:
                     host = {f"train/{k}": float(v) for k, v in metrics.items()}
                     self.logger.log_scalars(step_count, host)
             dt = time.monotonic() - t0
+            if self.energy:
+                # duty cycle: only the train-step phase bills as device-busy
+                self.energy.record_busy(dt)
             steps = max(self.batcher.steps_per_epoch // self.accumulate_batches, 1)
             self.logger.log_scalars(
                 step_count,

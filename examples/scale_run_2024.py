@@ -209,8 +209,9 @@ def phase_extract(root: Path):
         "maestro_real_train": str(root / "audio" / "maestro_train"),
         "maestro_real_val": str(root / "audio" / "maestro_val"),
     }
+    # float16 halves the dominant train-time IO (frame embeddings)
     extract_splits("beats", None, split_folders, str(root / "embeddings"),
-                   batch_size=32)
+                   batch_size=32, dtype="float16")
 
 
 def build_config(root: Path, epochs: int) -> dict:
@@ -223,14 +224,15 @@ def build_config(root: Path, epochs: int) -> dict:
             "batch_size": [12, 6, 6, 12, 24],  # pretrained.yaml:8
             "batch_size_val": 24,
             "const_max": 2,
-            "n_epochs_warmup": 50,
+            # reference uses 50/300 epochs warmup; scale proportionally
+            "n_epochs_warmup": max(epochs // 6, 1),
             "num_workers": 6,
             "n_epochs": epochs,
             "gradient_clip": 5.0,
             "n_test_thresholds": 50,
             "ema_factor": 0.999,
             "self_sup_loss": "mse",
-            "validation_interval": 10,
+            "validation_interval": 5,
             "weak_split": 0.9,
             "maestro_split": 0.9,
             "seed": 42,

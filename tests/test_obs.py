@@ -59,6 +59,29 @@ def test_energy_tracker(tmp_path):
     assert (tmp_path / "energy_test.json").exists()
 
 
+def test_energy_tracker_duty_cycle(tmp_path):
+    """Busy time bills at device watts, idle wall time at idle_fraction."""
+    import json
+
+    t = EnergyTracker(
+        "dc", device_watts=3_600_000.0, host_watts=0.0,
+        idle_fraction=0.5, out_dir=tmp_path,
+    )
+    t.start()
+    t._elapsed = 10.0  # deterministic: 10 s wall, 4 s busy
+    t._start = None
+    t.record_busy(4.0)
+    kwh = t.stop()
+    # 3.6 MW * (4 + 0.5 * 6) s = 3.6 MW * 7 s -> 7 kWh
+    assert abs(kwh - 7.0) < 1e-6
+    rep = json.loads((tmp_path / "energy_dc.json").read_text())
+    assert rep["busy_s"] == 4.0 and rep["elapsed_s"] == 10.0
+    # without duty-cycle info the whole wall clock bills as busy
+    t2 = EnergyTracker("dc2", device_watts=3_600_000.0, host_watts=0.0)
+    t2._elapsed = 10.0
+    assert abs(t2.energy_kwh - 10.0) < 1e-6
+
+
 def test_compiled_flops_matmul():
     a = jnp.zeros((64, 128))
     b = jnp.zeros((128, 32))
