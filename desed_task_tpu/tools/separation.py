@@ -60,3 +60,42 @@ class SeparationModel:
             for i, src in enumerate(sources):
                 write_wav(out_folder / f"{wav.stem}_src{i}.wav", src, fs)
         return len(wavs)
+
+
+class JaxSeparationModel:
+    """TPU-native separator: the trainable TDCN++ (models/tdcn.py).
+
+    Same interface as SeparationModel (separate / separate_folder) so the
+    2021 recipe can swap backends (--backend jax). Params come from an
+    ``orbax``/msgpack checkpoint produced by in-framework MixIT training
+    (training/mixit.py); random init is allowed for smoke tests.
+    """
+
+    def __init__(self, checkpoint_path: str | None = None, n_src: int = 4,
+                 **model_kwargs):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.tdcn import TDCNPP
+
+        self.model = TDCNPP(n_src=n_src, **model_kwargs)
+        if checkpoint_path:
+            from flax.serialization import msgpack_restore
+
+            raw = Path(checkpoint_path).read_bytes()
+            self.variables = msgpack_restore(raw)
+        else:
+            self.variables = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
+            )
+        self._jit = jax.jit(self.model.apply)
+
+    def separate(self, mixture: np.ndarray) -> np.ndarray:
+        """[N] mono waveform -> [n_src, N] separated sources."""
+        import jax.numpy as jnp
+
+        out = self._jit(self.variables,
+                        jnp.asarray(mixture, jnp.float32)[None])
+        return np.asarray(out[0])
+
+    separate_folder = SeparationModel.separate_folder
