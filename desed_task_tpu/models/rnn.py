@@ -73,27 +73,104 @@ class GRULayer(nn.Module):
         return gru_scan(x_gates, h0, w_hh, b_hh, reverse=self.reverse)
 
 
+def _bigru_fused_scan(x, w_f, b_f, w_b, b_b, x_gates_f, x_gates_b,
+                      unroll: int = 4):
+    """Both directions in ONE lax.scan: the backward direction rides the
+    same time loop on reversed inputs (stacked on a leading direction axis,
+    contracted with a batched GEMM), halving the number of sequential scans
+    and doubling the per-step GEMM width. unroll amortizes loop overhead.
+
+    Returns (fwd_states [B, T, H], bwd_states [B, T, H]). Bit-compatible
+    gate math with GRULayer (torch r/z/n order)."""
+    B, T, H3 = x_gates_f.shape
+    H = H3 // 3
+    w = jnp.stack([w_f.T, w_b.T])        # [2, H, 3H]
+    b = jnp.stack([b_f, b_b])            # [2, 3H]
+    xs = jnp.stack([
+        jnp.swapaxes(x_gates_f, 0, 1),               # [T, B, 3H]
+        jnp.swapaxes(x_gates_b, 0, 1)[::-1],         # reversed time
+    ], 0)                                             # [2, T, B, 3H]
+    xs = jnp.swapaxes(xs, 0, 1)                       # [T, 2, B, 3H]
+    h0 = jnp.zeros((2, B, H), x_gates_f.dtype)
+
+    def step(h, xg):
+        hg = jnp.einsum("dbh,dhk->dbk", h, w) + b[:, None, :]
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, xs, unroll=unroll)  # [T, 2, B, H]
+    fwd = jnp.swapaxes(ys[:, 0], 0, 1)
+    bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)
+    return fwd, bwd
+
+
 class BidirectionalGRU(nn.Module):
     """Multi-layer bidirectional GRU, output = concat(fwd, bwd) per layer.
 
     Matches torch.nn.GRU(batch_first=True, bidirectional=True): layer l > 0
     consumes the concatenated bidirectional output of layer l-1; inter-layer
     dropout applies to every layer's output except the last.
+
+    fused_directions runs both directions in one lax.scan (half the
+    sequential scans, 2x-wide recurrent GEMMs, unrolled 4x) — identical gate
+    math and parameters; the two code paths are numerically equivalent (same
+    ops, batched contraction) and covered by an equality test.
     """
 
     hidden: int
     num_layers: int = 1
     dropout: float = 0.0
+    fused_directions: bool = True
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for layer in range(self.num_layers):
-            fwd = GRULayer(self.hidden, reverse=False, name=f"l{layer}_fwd")(x)
-            bwd = GRULayer(self.hidden, reverse=True, name=f"l{layer}_bwd")(x)
+            if self.fused_directions:
+                scale = 1.0 / (self.hidden**0.5)
+                in_dim = x.shape[-1]
+                params = {}
+                for d in ("fwd", "bwd"):
+                    name = f"l{layer}_{d}"
+                    params[d] = _GRUParams(
+                        self.hidden, in_dim, name=name
+                    )()
+                (wi_f, wh_f, bi_f, bh_f) = params["fwd"]
+                (wi_b, wh_b, bi_b, bh_b) = params["bwd"]
+                xg_f = x @ wi_f.T + bi_f
+                xg_b = x @ wi_b.T + bi_b
+                fwd, bwd = _bigru_fused_scan(
+                    x, wh_f, bh_f, wh_b, bh_b, xg_f, xg_b, unroll=self.unroll
+                )
+                del scale
+            else:
+                fwd = GRULayer(self.hidden, reverse=False, name=f"l{layer}_fwd")(x)
+                bwd = GRULayer(self.hidden, reverse=True, name=f"l{layer}_bwd")(x)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
+
+
+class _GRUParams(nn.Module):
+    """GRULayer's exact parameter tree (weight_ih/hh, bias_ih/hh)."""
+
+    hidden: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = 1.0 / (self.hidden**0.5)
+        w_ih = self.param("weight_ih", _torch_uniform(scale), (3 * self.hidden, self.in_dim))
+        w_hh = self.param("weight_hh", _torch_uniform(scale), (3 * self.hidden, self.hidden))
+        b_ih = self.param("bias_ih", _torch_uniform(scale), (3 * self.hidden,))
+        b_hh = self.param("bias_hh", _torch_uniform(scale), (3 * self.hidden,))
+        return w_ih, w_hh, b_ih, b_hh
 
 
 class BidirectionalLSTMCellMath(nn.Module):

@@ -270,3 +270,24 @@ def test_fast_conv3x3_custom_vjp_exact():
             np.testing.assert_allclose(
                 np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4,
             )
+
+
+def test_bigru_fused_directions_matches_unfused():
+    """The single-scan bidirectional path is numerically equivalent to the
+    two-scan path (same params, same gate math)."""
+    import numpy as np
+
+    from desed_task_tpu.models.rnn import BidirectionalGRU
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((3, 23, 16)), jnp.float32)
+    fused = BidirectionalGRU(hidden=8, num_layers=2, fused_directions=True)
+    plain = BidirectionalGRU(hidden=8, num_layers=2, fused_directions=False)
+    v = fused.init(jax.random.key(0), x)
+    # identical parameter trees
+    ref_tree = jax.tree_util.tree_map(lambda a: a.shape, plain.init(jax.random.key(0), x))
+    assert jax.tree_util.tree_map(lambda a: a.shape, v) == ref_tree
+    y_f = fused.apply(v, x)
+    y_p = plain.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p),
+                               rtol=1e-5, atol=1e-6)
