@@ -103,16 +103,28 @@ def get_segment_scores_and_overlap_add(
             frame_scores[clip_id][keys], clip_length=t1 - t0, segment_length=segment_length
         )[event_classes].to_numpy()
         i0 = int(t0 // segment_length)
-        segment_scores_file[file_id][i0 : i0 + len(seg_clip)] += seg_clip
-        summand_count[file_id][i0 : i0 + len(seg_clip)] += 1
-    return {
-        file_id: create_score_dataframe(
-            segment_scores_file[file_id] / np.maximum(summand_count[file_id], 1),
+        need = i0 + len(seg_clip)
+        if need > len(segment_scores_file[file_id]):
+            # windows may extend past the (ground-truth-derived) duration,
+            # e.g. when durations come from max event offsets; grow the
+            # buffer and trim back to the declared duration on return
+            extra = need - len(segment_scores_file[file_id])
+            pad = ((0, extra), (0, 0))
+            segment_scores_file[file_id] = np.pad(segment_scores_file[file_id], pad)
+            summand_count[file_id] = np.pad(summand_count[file_id], pad)
+        segment_scores_file[file_id][i0:need] += seg_clip
+        summand_count[file_id][i0:need] += 1
+    out = {}
+    for file_id in segment_scores_file:
+        n_seg = ceil(audio_durations[file_id] / segment_length)
+        out[file_id] = create_score_dataframe(
+            (segment_scores_file[file_id] / np.maximum(summand_count[file_id], 1))[
+                :n_seg
+            ],
             np.minimum(
                 np.arange(0.0, audio_durations[file_id] + segment_length, segment_length),
                 audio_durations[file_id],
-            ),
+            )[: n_seg + 1],
             event_classes,
         )
-        for file_id in segment_scores_file
-    }
+    return out

@@ -278,12 +278,12 @@ def build_config(root: Path, epochs: int) -> dict:
     }
 
 
-def phase_train(root: Path, epochs: int):
+def phase_train(root: Path, epochs: int, resume: bool = False):
     from desed_task_tpu.training.single_run import single_run
 
     config = build_config(root, epochs)
     exp = root / "exp"
-    state, results = single_run(config, str(exp))
+    state, results = single_run(config, str(exp), checkpoint_resume=resume)
     out = {k: v for k, v in (results or {}).items() if isinstance(v, float)}
     (exp / "test_results.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
@@ -297,6 +297,8 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--scale", type=float, default=1.0,
                    help="corpus size multiplier")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the last checkpoint")
     args = p.parse_args()
     root = Path(args.workdir)
     if args.phase in ("generate", "all"):
@@ -304,7 +306,7 @@ def main():
     if args.phase in ("extract", "all"):
         phase_extract(root)
     if args.phase in ("train", "all"):
-        phase_train(root, args.epochs)
+        phase_train(root, args.epochs, resume=args.resume)
 
 
 if __name__ == "__main__":

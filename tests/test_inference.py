@@ -114,6 +114,22 @@ def test_overlap_add_constant_scores():
     assert df["offset"].iloc[-1] == 20.0
 
 
+def test_overlap_add_window_past_declared_duration():
+    """A window may extend past the gt-derived file duration (durations come
+    from max event offsets in the validator); the buffer grows and the
+    output trims back to the declared duration."""
+    classes = ["A"]
+    durations = {"f1": 8.7}  # gt ends at 8.7 s, but the window covers 0-10 s
+    arr = np.full((156, 1), 0.25)
+    ts = np.arange(157) * 0.064
+    frame_scores = {"f1-000000-001000": create_score_dataframe(arr, ts, classes)}
+    segs = get_segment_scores_and_overlap_add(frame_scores, durations, classes)
+    df = segs["f1"]
+    assert len(df) == 9  # ceil(8.7)
+    assert df["offset"].iloc[-1] == 8.7
+    np.testing.assert_allclose(df["A"].to_numpy(), 0.25, atol=1e-6)
+
+
 def test_segment_auroc_against_sklearn(rng):
     sklearn = pytest.importorskip("sklearn.metrics")
     classes = ["A"]
