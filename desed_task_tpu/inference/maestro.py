@@ -93,6 +93,11 @@ def get_segment_scores_and_overlap_add(
     keys = ["onset", "offset"] + list(event_classes)
     for clip_id in frame_scores:
         file_id, clip_onset, clip_offset = clip_id.rsplit("-", maxsplit=2)
+        if file_id not in audio_durations:
+            # callers derive durations from ground truth; windows of files
+            # with no (surviving) gt events have no timeline to land on and
+            # are excluded from the metrics anyway
+            continue
         t0 = float(clip_onset) / 100
         t1 = float(clip_offset) / 100
         if file_id not in segment_scores_file:

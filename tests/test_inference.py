@@ -130,6 +130,20 @@ def test_overlap_add_window_past_declared_duration():
     np.testing.assert_allclose(df["A"].to_numpy(), 0.25, atol=1e-6)
 
 
+def test_overlap_add_skips_files_without_duration():
+    """Windows of files absent from the duration map (no surviving gt
+    events) are skipped instead of crashing."""
+    classes = ["A"]
+    arr = np.full((156, 1), 0.5)
+    ts = np.arange(157) * 0.064
+    frame_scores = {
+        "known-000000-001000": create_score_dataframe(arr, ts, classes),
+        "unknown-000000-001000": create_score_dataframe(arr, ts, classes),
+    }
+    segs = get_segment_scores_and_overlap_add(frame_scores, {"known": 10.0}, classes)
+    assert set(segs) == {"known"}
+
+
 def test_segment_auroc_against_sklearn(rng):
     sklearn = pytest.importorskip("sklearn.metrics")
     classes = ["A"]
