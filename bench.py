@@ -41,8 +41,6 @@ def main():
 
     n_dev = jax.device_count()
     cfg = mean_teacher_2024(batch_scale=n_dev)
-    # bf16 MXU compute for conv stack + mel DFT (params/optimizer fp32)
-    model = crnn_2024(compute_dtype=jnp.bfloat16)
     n_class, t_lab = 27, 156
 
     rng = np.random.default_rng(0)
@@ -59,23 +57,45 @@ def main():
 
     mel_cfg = MelConfig(compute_dtype="bfloat16")
     tx, sched = make_optimizer(lr=1e-3, rampup_steps=1000)
-    state = create_state(model, cfg, tx, jax.random.key(0), batch)
-    step = jax.jit(
-        make_train_step(model, cfg, tx, sched, mel_cfg=mel_cfg), donate_argnums=0
-    )
 
-    if n_dev > 1:
-        mesh = make_mesh({"data": n_dev})
-        state = jax.device_put(state, replicate(mesh))
-        batch = shard_batch(batch, mesh)
-    else:
-        batch = jax.device_put(batch)
+    def build(**model_over):
+        # bf16 MXU compute for conv stack + mel DFT (params/optimizer fp32)
+        model = crnn_2024(compute_dtype=jnp.bfloat16, **model_over)
+        state = create_state(model, cfg, tx, jax.random.key(0), batch)
+        step = jax.jit(
+            make_train_step(model, cfg, tx, sched, mel_cfg=mel_cfg),
+            donate_argnums=0,
+        )
+        return state, step
 
     key = jax.random.key(1)
-    # warmup / compile; a host fetch is the only reliable synchronization on
-    # the remote-tunneled TPU backend (block_until_ready returns early there)
-    state, metrics = step(state, batch, key)
-    float(jax.device_get(metrics["loss"]))
+    try:
+        state, step = build()
+        dev_batch = (
+            jax.device_put(batch) if n_dev == 1 else None
+        )
+        if n_dev > 1:
+            mesh = make_mesh({"data": n_dev})
+            state = jax.device_put(state, replicate(mesh))
+            dev_batch = shard_batch(batch, mesh)
+        # warmup / compile; a host fetch is the only reliable synchronization
+        # on the remote-tunneled TPU backend (block_until_ready returns early)
+        state, metrics = step(state, dev_batch, key)
+        float(jax.device_get(metrics["loss"]))
+    except Exception as e:  # pragma: no cover - fused-kernel compile fallback
+        import sys
+
+        print(f"fused path failed ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        state, step = build(fused_blocks=False)
+        dev_batch = jax.device_put(batch)
+        if n_dev > 1:
+            mesh = make_mesh({"data": n_dev})
+            state = jax.device_put(state, replicate(mesh))
+            dev_batch = shard_batch(batch, mesh)
+        state, metrics = step(state, dev_batch, key)
+        float(jax.device_get(metrics["loss"]))
+    batch = dev_batch
 
     n_steps = 20
     t0 = time.perf_counter()

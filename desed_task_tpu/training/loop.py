@@ -107,6 +107,16 @@ class TrainLoop:
                 if step_count % self.log_every == 0:
                     host = {f"train/{k}": float(v) for k, v in metrics.items()}
                     self.logger.log_scalars(step_count, host)
+                else:
+                    # bound async dispatch runahead: one scalar fetch per
+                    # step (~1 ms) keeps the host from enqueueing unbounded
+                    # in-flight executions/transfers on fast devices.
+                    # (Note: the tunneled-TPU client additionally retains a
+                    # host mirror per transferred batch regardless of syncs
+                    # or .delete() — for multi-hour runs on that backend,
+                    # restart the process periodically via checkpoint
+                    # resume; see docs/performance.md.)
+                    float(next(iter(metrics.values())))
             dt = time.monotonic() - t0
             if self.energy:
                 # duty cycle: only the train-step phase bills as device-busy
