@@ -63,7 +63,9 @@ class _EmbeddingStore:
     def get(self, stem: str) -> np.ndarray:
         i = self.index[stem]
         key = "global_embeddings" if self.embedding_type == "global" else "frame_embeddings"
-        return np.asarray(self.handle[key][i], np.float32)
+        # keep the on-disk dtype (float16 stores halve host->device transfer
+        # bandwidth); models cast in-graph where needed
+        return np.asarray(self.handle[key][i])
 
 
 class _BaseSet:

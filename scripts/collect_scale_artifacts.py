@@ -31,31 +31,43 @@ def main():
     exp, out = Path(args.exp), Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    df = pd.read_csv(exp / "metrics.csv")
-    piv = df.pivot_table(index="step", columns="name", values="value",
+    df = pd.read_csv(exp / "metrics.csv").sort_values("time", kind="stable")
+    # per-process step counters restart on checkpoint-resume (the tunneled
+    # TPU needs periodic restarts, docs/performance.md); rebuild a global
+    # monotone step from the time-ordered rows
+    offset, last, gsteps = 0, -1, []
+    for s in df["step"]:
+        if s < last:
+            offset += last
+        last = s
+        gsteps.append(s + offset)
+    df["gstep"] = gsteps
+    piv = df.pivot_table(index="gstep", columns="name", values="value",
                          aggfunc="last")
 
     # validation curves vs epoch
     epochs = piv["train/epoch"].dropna() if "train/epoch" in piv else None
     val_cols = [
         ("val/obj_metric", "objective (weak F1 + synth inter-F1 + mpAUC)"),
-        ("val/weak/student/macro_f1", "weak clip-level macro F1"),
+        ("val/weak/student/macro_F1", "weak clip-level macro F1"),
         ("val/synth/student/intersection_f1_macro", "synth intersection F1"),
         ("val/maestro/student/segment_mpauc", "MAESTRO segment mpAUC"),
         ("val/teacher/obj_metric", "objective (teacher)"),
     ]
     fig, ax = plt.subplots(figsize=(8, 5))
-    steps_per_epoch = None
-    if epochs is not None and len(epochs) > 1:
-        steps_per_epoch = (epochs.index[1] - epochs.index[0]) / max(
-            epochs.iloc[1] - epochs.iloc[0], 1
-        )
+
+    def to_epoch(idx):
+        if epochs is None or not len(epochs):
+            return idx
+        pos = min(epochs.index.searchsorted(idx), len(epochs) - 1)
+        return float(epochs.iloc[pos])
+
     for col, label in val_cols:
         if col in piv:
             s = piv[col].dropna()
-            x = s.index / steps_per_epoch if steps_per_epoch else s.index
+            x = [to_epoch(i) for i in s.index]
             ax.plot(x, s.values, marker="o", ms=3, label=label)
-    ax.set_xlabel("epoch" if steps_per_epoch else "step")
+    ax.set_xlabel("epoch" if epochs is not None else "step")
     ax.set_ylabel("metric")
     ax.set_title("2024-config rehearsal on generated soundscapes (validation)")
     ax.legend(fontsize=8)
