@@ -188,6 +188,9 @@ def _concat_batch(cfg: MeanTeacherConfig, batch: dict):
     labels = jnp.concatenate([batch[s.name]["labels"] for s in cfg.slots], 0)
     embs = [batch[s.name].get("embeddings") for s in cfg.slots]
     emb = jnp.concatenate(embs, 0) if embs[0] is not None else None
+    if emb is not None and emb.dtype != jnp.float32:
+        # fp16 embedding stores transfer half the bytes; compute in f32
+        emb = emb.astype(jnp.float32)
     masks = []
     n_class = labels.shape[1]
     for s in cfg.slots:
