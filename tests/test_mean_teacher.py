@@ -349,3 +349,26 @@ def test_2021_style_config_runs(rng):
         state, metrics = step(state, batch, jax.random.key(1))
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 3
+
+
+def test_sharded_step_with_fused_pallas_blocks(rng):
+    """Pod-deployment path: the fused Pallas conv-block kernels must trace
+    and execute inside shard_map (per-device local batch shapes). Runs the
+    kernels in interpret mode on the 8-device CPU mesh."""
+    assert jax.device_count() == 8
+    mesh = make_mesh({"data": 8})
+    cfg = tiny_cfg(sizes=(8, 8, 16))
+    from desed_task_tpu.training.mean_teacher import make_train_step_sharded
+
+    model = tiny_model().clone(fused_blocks="interpret")
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=50)
+    batch = make_batch(cfg, rng)
+    state = create_state(model, cfg, tx, jax.random.key(0), batch)
+    state = jax.device_put(state, replicate(mesh))
+    step = make_train_step_sharded(
+        model, cfg, tx, sched, mesh, batch
+    )
+    sbatch = shard_batch(batch, mesh)
+    state, metrics = step(state, sbatch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
