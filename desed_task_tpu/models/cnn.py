@@ -150,11 +150,12 @@ class _Conv2dAuto(nn.Module):
     stride: int = 1
     pad: int = 1
     dtype: Any = None
-    # True = fast paths at INFERENCE only (training A/B on v5e: folded -7%,
-    # shift_add -12% end-to-end even with the custom VJP — the banded dgrad
-    # rebuild + non-shared wgrad im2col cost more than the forward wins;
-    # docs/performance.md). "folded"/"shift_add" force a path in training too.
-    fast: Any = True
+    # Round-2 default: OFF. The folded/shift-add tilings measured faster
+    # per-block in round 1 but LOSE end-to-end now — eval fp32 full CRNN
+    # 21.7 vs 17.6 ms plain, and the fused Pallas blocks (ops/pallas_cnn.py)
+    # own the bf16 path outright (10.5 ms). True = fast paths at inference;
+    # "folded"/"shift_add" force a path in training too (custom VJP).
+    fast: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -257,7 +258,7 @@ class CNN(nn.Module):
     # bit-exact TPU-tiled conv paths (banded fold / shift-add), custom VJP.
     # True = inference-only auto (training measured slower on v5e);
     # "folded"/"shift_add" force in training; False = always plain conv.
-    fast_conv: Any = True
+    fast_conv: Any = False
     # packed-bits dropout masks (8 bits of entropy/element instead of a full
     # uint32 word — 4x less RBG work + HBM; exact for rate 0.5, ops/dropout.py)
     packed_dropout: bool = True

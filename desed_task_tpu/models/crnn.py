@@ -86,7 +86,7 @@ class CRNN(nn.Module):
     # bit-parity with the reference). The RNN and heads stay fp32.
     compute_dtype: Any = None
     # bit-exact TPU-tiled conv paths with custom VJP (see models/cnn.py)
-    fast_conv: Any = True
+    fast_conv: Any = False
     # packed-bits conv-dropout masks (ops/dropout.py; exact for rate 0.5)
     packed_dropout: bool = True
     # fused Pallas conv-block kernels (ops/pallas_cnn.py); None = auto
