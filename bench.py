@@ -69,6 +69,7 @@ def main():
         return state, step
 
     key = jax.random.key(1)
+    fused = True
     try:
         state, step = build()
         dev_batch = (
@@ -82,11 +83,14 @@ def main():
         # on the remote-tunneled TPU backend (block_until_ready returns early)
         state, metrics = step(state, dev_batch, key)
         float(jax.device_get(metrics["loss"]))
-    except Exception as e:  # pragma: no cover - fused-kernel compile fallback
+    # only Pallas/Mosaic lowering or compile errors may divert to the XLA
+    # fallback; anything else (shape bugs, OOM, tunnel faults) must surface
+    except (jax.errors.JaxRuntimeError, NotImplementedError) as e:
         import sys
 
-        print(f"fused path failed ({type(e).__name__}); XLA fallback",
+        print(f"fused path failed ({type(e).__name__}: {e}); XLA fallback",
               file=sys.stderr)
+        fused = False
         state, step = build(fused_blocks=False)
         dev_batch = jax.device_put(batch)
         if n_dev > 1:
@@ -111,6 +115,7 @@ def main():
         "value": round(clips_per_sec_per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / BASELINE_CLIPS_PER_SEC, 3),
+        "fused": fused,
     }
     print(json.dumps(result))
 

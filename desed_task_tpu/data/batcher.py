@@ -157,5 +157,20 @@ class MultiSourceBatcher:
                 except queue.Empty:
                     break
 
+    def epoch_indices(self, steps: int | None = None):
+        """Yield `steps` per-slot index batches {slot: int64 [bs]} WITHOUT
+        touching the datasets — the device-resident cache path
+        (data/device_cache.py) maps these onto HBM store rows. Consumes the
+        same sampler streams as epoch(), so shuffling/epoch semantics are
+        identical to the host-assembly path."""
+        steps = steps if steps is not None else self.steps_per_epoch
+        for _ in range(steps):
+            yield {
+                name: np.asarray(
+                    self.samplers[name].take(self.batch_sizes[name]), np.int64
+                )
+                for name in self.datasets
+            }
+
     def __iter__(self):
         return self.epoch()

@@ -215,6 +215,28 @@ class UnlabeledSet(_BaseSet):
         return self._finalize(out, ex["path"])
 
 
+class ConcatSet:
+    """Chain several datasets into one index space (the reference's
+    torch.utils.data.ConcatDataset([strong_set, synth_set]) used when
+    --strong_real folds AudioSet strong clips into the synth slot,
+    dcase2022_task4_baseline/train_sed.py:163-167)."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+        assert self.parts
+        self.encoder = self.parts[0].encoder
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts)
+
+    def __getitem__(self, item):
+        for p in self.parts:
+            if item < len(p):
+                return p[item]
+            item -= len(p)
+        raise IndexError(item)
+
+
 class SeparatedSet(_BaseSet):
     """Clips with pre-separated sources (2021 separation recipe): for each
     base clip `X.wav` the separation runner writes `X_src{i}.wav`; items are

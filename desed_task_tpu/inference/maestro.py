@@ -90,13 +90,16 @@ def get_segment_scores_and_overlap_add(
     """
     segment_scores_file: dict[str, np.ndarray] = {}
     summand_count: dict[str, np.ndarray] = {}
+    skipped: set[str] = set()
     keys = ["onset", "offset"] + list(event_classes)
     for clip_id in frame_scores:
         file_id, clip_onset, clip_offset = clip_id.rsplit("-", maxsplit=2)
         if file_id not in audio_durations:
             # callers derive durations from ground truth; windows of files
             # with no (surviving) gt events have no timeline to land on and
-            # are excluded from the metrics anyway
+            # are excluded from the metrics anyway — but surface the skips so
+            # a merely-incomplete durations table is detectable
+            skipped.add(file_id)
             continue
         t0 = float(clip_onset) / 100
         t1 = float(clip_offset) / 100
@@ -119,6 +122,15 @@ def get_segment_scores_and_overlap_add(
             summand_count[file_id] = np.pad(summand_count[file_id], pad)
         segment_scores_file[file_id][i0:need] += seg_clip
         summand_count[file_id][i0:need] += 1
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"overlap-add: {len(skipped)} file_id(s) had score windows but no "
+            f"entry in audio_durations and were dropped from the metrics "
+            f"(e.g. {sorted(skipped)[:3]})",
+            stacklevel=2,
+        )
     out = {}
     for file_id in segment_scores_file:
         n_seg = ceil(audio_durations[file_id] / segment_length)

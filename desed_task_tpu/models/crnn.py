@@ -207,6 +207,9 @@ class CRNN(nn.Module):
     def _aggregate_embeddings(self, embeddings, n_frames):
         if embeddings is None:
             raise ValueError("use_embeddings=True but no embeddings passed")
+        # stores may hold float16 (fp16 HDF5 embedding stores); promote here so
+        # every consumer (train concat path and eval/predict) aggregates in f32
+        embeddings = embeddings.astype(jnp.float32)
         agg = self.aggregation_type
         if agg == "global":
             # [B, E] -> shrink (Dense+LayerNorm) -> tile over frames

@@ -62,12 +62,11 @@ class PackedDropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool | None = None):
-        if self.deterministic is not None or deterministic is not None:
-            deterministic = nn.merge_param(
-                "deterministic", self.deterministic, deterministic
-            )
-        else:
-            deterministic = False
+        # nn.merge_param raises when both sources are None — same contract as
+        # flax nn.Dropout (a silent train-mode default would hide misuse)
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
         if self.rate == 0.0 or deterministic:
             return x
         keep_prob = 1.0 - self.rate

@@ -91,11 +91,18 @@ class JaxSeparationModel:
         self._jit = jax.jit(self.model.apply)
 
     def separate(self, mixture: np.ndarray) -> np.ndarray:
-        """[N] mono waveform -> [n_src, N] separated sources."""
+        """[N] mono waveform -> [n_src, N] separated sources.
+
+        Variable-length clips are zero-padded up to a power-of-two bucket
+        (min 1 s) so a folder of assorted lengths triggers a handful of jit
+        compiles instead of one ~2 min TPU compile per distinct length."""
         import jax.numpy as jnp
 
-        out = self._jit(self.variables,
-                        jnp.asarray(mixture, jnp.float32)[None])
-        return np.asarray(out[0])
+        n = int(np.asarray(mixture).shape[-1])
+        bucket = max(16000, 1 << (n - 1).bit_length())
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = mixture
+        out = self._jit(self.variables, jnp.asarray(padded)[None])
+        return np.asarray(out[0])[:, :n]
 
     separate_folder = SeparationModel.separate_folder

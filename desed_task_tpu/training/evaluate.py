@@ -75,10 +75,37 @@ def predict_dataset(
     scaler=None,
 ):
     """Forward a dataset, decode. Returns (scores_raw, scores_post,
-    pred_dfs {th: DataFrame}, weak_probs [N, C], weak_targets [N, C])."""
+    pred_dfs {th: DataFrame}, weak_probs [N, C], weak_targets [N, C]).
+
+    `dataset` may be a data.device_cache.DeviceEvalCache — batches then come
+    as device-resident slices (no audio transfer per validation pass)."""
+    from ..data.device_cache import DeviceEvalCache
+
     scores_raw_all, scores_post_all = {}, {}
     dfs_all = {th: [] for th in thresholds}
     weak_probs, weak_targets = [], []
+    if isinstance(dataset, DeviceEvalCache):
+        for audio, emb, n_real, filenames, labels in dataset.batches():
+            kwargs = {"embeddings": emb} if emb is not None else {}
+            strong, weak = predict_fn(
+                params, stats, audio, scaler=scaler, **kwargs
+            )
+            strong = np.asarray(strong)[:n_real]
+            weak = np.asarray(weak)[:n_real]
+            raw, post, dfs = batched_decode_preds(
+                strong, filenames, encoder,
+                thresholds=thresholds, median_filter=median_filter,
+            )
+            scores_raw_all.update(raw)
+            scores_post_all.update(post)
+            for th in thresholds:
+                dfs_all[th].append(dfs[th])
+            weak_probs.append(weak)
+            weak_targets.append((labels.sum(-1) > 0).astype(np.float32))
+        return _assemble_predictions(
+            scores_raw_all, scores_post_all, dfs_all, weak_probs,
+            weak_targets, thresholds,
+        )
     for batch in iterate_batches(dataset, batch_size):
         n_real = len(batch["audio"])
         audio = np.asarray(batch["audio"])
@@ -115,6 +142,14 @@ def predict_dataset(
             dfs_all[th].append(dfs[th])
         weak_probs.append(np.asarray(weak))
         weak_targets.append((np.asarray(batch["labels"]).sum(-1) > 0).astype(np.float32))
+    return _assemble_predictions(
+        scores_raw_all, scores_post_all, dfs_all, weak_probs, weak_targets,
+        thresholds,
+    )
+
+
+def _assemble_predictions(scores_raw_all, scores_post_all, dfs_all,
+                          weak_probs, weak_targets, thresholds):
     pred_dfs = {
         th: (
             pd.concat(v, ignore_index=True)

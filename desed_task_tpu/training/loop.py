@@ -39,6 +39,7 @@ class TrainLoop:
         log_every: int = 50,
         energy: Optional[EnergyTracker] = None,
         accumulate_batches: int = 1,
+        index_cache=None,  # data.device_cache.DeviceResidentData (uploaded)
     ):
         self.step_fn = step_fn
         self.state = state
@@ -54,6 +55,7 @@ class TrainLoop:
         self.log_every = log_every
         self.energy = energy
         self.accumulate_batches = accumulate_batches
+        self.index_cache = index_cache
         self.best_obj = -np.inf
         self.epochs_since_best = 0
         self.start_epoch = 0
@@ -70,6 +72,22 @@ class TrainLoop:
         matching the reference's epoch length
         `len(ds) // (batch_size * accumulate_batches)`
         (train_pretrained.py:457-466)."""
+        if self.index_cache is not None:
+            # device-resident data: steps consume int32 store-row vectors
+            # (~240 bytes/step through the interconnect instead of ~85 MB)
+            import jax.numpy as jnp
+
+            if self.accumulate_batches <= 1:
+                for idx in self.batcher.epoch_indices():
+                    yield jnp.asarray(self.index_cache.flat_index(idx))
+                return
+            group = []
+            for idx in self.batcher.epoch_indices():
+                group.append(self.index_cache.flat_index(idx))
+                if len(group) == self.accumulate_batches:
+                    yield jnp.asarray(np.stack(group))
+                    group = []
+            return
         if self.accumulate_batches <= 1:
             for batch in self.batcher.epoch():
                 yield self._put(batch)

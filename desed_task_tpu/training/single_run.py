@@ -154,8 +154,19 @@ def _emb_file(config, split_name):
     return str(path) if path.exists() else None
 
 
-def build_train_datasets(config: dict, encoder) -> tuple[dict, dict, list[SlotSpec]]:
-    """Returns (datasets, batch_sizes, slot specs) for the present slots."""
+def build_train_datasets(
+    config: dict, encoder, strong_real: bool = False
+) -> tuple[dict, dict, list[SlotSpec]]:
+    """Returns (datasets, batch_sizes, slot specs) for the present slots.
+
+    The strong (AudioSet real) data participates in one of two ways:
+      * as its own batch slot when training.batch_size carries an entry for
+        it (the 2024 flagship convention, pretrained.yaml:8);
+      * concatenated into the synth slot when `strong_real` is set and the
+        batch list has no strong entry (the reference --strong_real
+        semantics, dcase2022_task4_baseline/train_sed.py:163-167).
+    With neither, configured strong paths are ignored (reference default).
+    """
     data = config["data"]
     emb_type = (config.get("net") or {}).get("embedding_type")
     common = dict(
@@ -192,14 +203,25 @@ def build_train_datasets(config: dict, encoder) -> tuple[dict, dict, list[SlotSp
     roles.append(("synth", "strong"))
 
     if "strong_tsv" in data and data.get("strong_folder"):
-        strong_tsv = pd.read_csv(data["strong_tsv"], sep="\t")
-        datasets["strong"] = StronglyAnnotatedSet(
-            data["strong_folder"], strong_tsv, encoder,
-            embeddings_hdf5_file=_emb_file(config, "strong_train"),
-            mask_events_other_than=desed_classes if len(encoder.labels) > 10 else None,
-            **common,
-        )
-        roles.append(("strong", "strong"))
+        n_batch = len(config["training"]["batch_size"])
+        # slots absent the strong one: [maestro?] synth weak unlabeled
+        separate_slot = n_batch == len(roles) + 3
+        if separate_slot or strong_real:
+            strong_tsv = pd.read_csv(data["strong_tsv"], sep="\t")
+            strong_set = StronglyAnnotatedSet(
+                data["strong_folder"], strong_tsv, encoder,
+                embeddings_hdf5_file=_emb_file(config, "strong_train"),
+                mask_events_other_than=desed_classes
+                if len(encoder.labels) > 10 else None,
+                **common,
+            )
+            if separate_slot:
+                datasets["strong"] = strong_set
+                roles.append(("strong", "strong"))
+            else:
+                from ..data import ConcatSet
+
+                datasets["synth"] = ConcatSet([strong_set, datasets["synth"]])
 
     weak_tsv = pd.read_csv(data["weak_tsv"], sep="\t")
     # weak train/val split (train_pretrained.py:241-253)
@@ -283,6 +305,7 @@ def single_run(
     fast_dev_run: bool = False,
     evaluation: bool = False,
     fast: bool = True,
+    strong_real: bool = False,
 ):
     """Train (or test-only) one system. Returns (state, test_results)."""
     t = config["training"]
@@ -294,7 +317,9 @@ def single_run(
     mel = mel_config(config, fast=fast)
     scal = scaler_config(config)
 
-    datasets, batch_sizes, slots = build_train_datasets(config, encoder)
+    datasets, batch_sizes, slots = build_train_datasets(
+        config, encoder, strong_real=strong_real
+    )
     weak_val = datasets.pop("_weak_val")
     maestro_val_tsv = datasets.pop("_maestro_val_tsv", None)
     batcher = MultiSourceBatcher(
@@ -347,6 +372,43 @@ def single_run(
                             accumulate=accumulate),
             donate_argnums=0,
         )
+
+    # device-resident dataset (data/device_cache.py): when the corpus fits
+    # HBM and needs no per-epoch random crop, train steps gather batches from
+    # on-device stores by int32 index — the host/interconnect data path drops
+    # out of the step entirely. Opt out with training.device_cache: false.
+    cache = None
+    cache_mode = t.get("device_cache", "auto")
+    if mesh is None and cache_mode in (True, "auto"):
+        from ..data.device_cache import DeviceResidentData, fits_device_cache
+
+        pad_samples = int(data["audio_max_len"] * data["fs"])
+        budget = int(t.get("device_cache_max_bytes", 8 << 30))
+        if cache_mode is True or fits_device_cache(datasets, pad_samples, budget):
+            cache = DeviceResidentData.build(
+                datasets, [s.name for s in slots],
+                num_workers=t.get("num_workers", 6),
+                verbose=not fast_dev_run,
+            )
+            cache.upload(verbose=not fast_dev_run)
+            builder = cache.batch_builder(batch_sizes)
+            inner = make_train_step(
+                model, cfg, tx, sched, mel_cfg=mel, scaler_cfg=scal,
+                accumulate=accumulate,
+            )
+            if accumulate > 1:
+                def _cached(state, stores, idx, rng):
+                    micro = jax.vmap(builder, in_axes=(None, 0))(stores, idx)
+                    return inner(state, micro, rng)
+            else:
+                def _cached(state, stores, idx, rng):
+                    return inner(state, builder(stores, idx), rng)
+            jit_cached = jax.jit(_cached, donate_argnums=0)
+            stores = cache.stores
+
+            def step_fn(state, idx, rng):  # noqa: F811 — cache path override
+                return jit_cached(state, stores, idx, rng)
+
     predict_fn = jax.jit(make_predict_step(model, mel, scal))
 
     print(macs_report(
@@ -392,6 +454,20 @@ def single_run(
             embeddings_hdf5_file=_emb_file(config, "maestro_real_train"),
             embedding_type=emb_type,
         )
+    if cache is not None and t.get("device_cache_eval", True):
+        # recurring validation passes (student + teacher, every N epochs)
+        # also serve from device-resident stores
+        from ..data.device_cache import build_eval_caches
+
+        wrapped = build_eval_caches(
+            {"weak_val": weak_val, "synth_val": synth_val,
+             "maestro_val": maestro_val_set},
+            t.get("batch_size_val", 24), verbose=not fast_dev_run,
+        )
+        weak_val = wrapped["weak_val"]
+        synth_val = wrapped["synth_val"]
+        maestro_val_set = wrapped["maestro_val"]
+
     validator = SEDValidator(
         predict_fn,
         encoder,
@@ -428,6 +504,7 @@ def single_run(
         rng=jax.random.key(t.get("seed", 42) + 1),
         energy=energy,
         accumulate_batches=accumulate,
+        index_cache=cache,
     )
 
     test_results = None

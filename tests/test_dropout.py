@@ -31,7 +31,7 @@ def test_planes_are_independent():
 def test_module_scaling_and_eval():
     x = jnp.ones((64, 128), jnp.float32)
     mod = PackedDropout(0.5)
-    y = mod.apply({}, x, rngs={"dropout": jax.random.key(1)})
+    y = mod.apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
     vals = np.unique(np.asarray(y))
     assert set(vals.tolist()) <= {0.0, 2.0}  # kept elements scaled by 2
     y_eval = mod.apply({}, x, deterministic=True)
@@ -42,11 +42,11 @@ def test_deterministic_per_key_and_grad_uses_same_mask():
     x = jnp.ones((33, 65), jnp.float32)
     mod = PackedDropout(0.5)
     rngs = {"dropout": jax.random.key(7)}
-    y1 = mod.apply({}, x, rngs=rngs)
-    y2 = mod.apply({}, x, rngs=rngs)
+    y1 = mod.apply({}, x, deterministic=False, rngs=rngs)
+    y2 = mod.apply({}, x, deterministic=False, rngs=rngs)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     # d/dx sum(dropout(x)) == the mask * scale itself
-    g = jax.grad(lambda x: mod.apply({}, x, rngs=rngs).sum())(x)
+    g = jax.grad(lambda x: mod.apply({}, x, deterministic=False, rngs=rngs).sum())(x)
     np.testing.assert_array_equal(np.asarray(g), np.asarray(y1))
 
 
@@ -59,5 +59,13 @@ def test_quantized_rate_within_half_ulp():
 
 def test_bf16_dtype_preserved():
     x = jnp.ones((16, 256), jnp.bfloat16)
-    y = PackedDropout(0.5).apply({}, x, rngs={"dropout": jax.random.key(2)})
+    y = PackedDropout(0.5).apply({}, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
     assert y.dtype == jnp.bfloat16
+
+
+def test_unset_deterministic_raises_like_nn_dropout():
+    import pytest
+
+    x = jnp.ones((4, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        PackedDropout(0.5).apply({}, x, rngs={"dropout": jax.random.key(0)})

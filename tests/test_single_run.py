@@ -223,6 +223,76 @@ def test_single_run_2024_style_with_maestro(corpus, tmp_path):
     assert "val/teacher/obj_metric" in text
 
 
+def test_strong_real_slot_composition(corpus):
+    """--strong_real folds AudioSet strong clips into the synth slot when the
+    batch list has no strong entry (reference train_sed.py:163-167); a
+    4-entry batch list makes it a separate slot; neither ignores it."""
+    from desed_task_tpu.training.single_run import (
+        build_encoder, build_train_datasets,
+    )
+
+    config = make_config(corpus)
+    config["data"]["strong_folder"] = str(corpus / "synth")
+    config["data"]["strong_tsv"] = str(corpus / "meta" / "synth.tsv")
+    encoder = build_encoder(config)
+
+    ds, bs, slots = build_train_datasets(config, encoder, strong_real=False)
+    assert [s.name for s in slots] == ["synth", "weak", "unlabeled"]
+    n_synth_alone = len(ds["synth"])
+
+    ds2, _, slots2 = build_train_datasets(config, encoder, strong_real=True)
+    assert [s.name for s in slots2] == ["synth", "weak", "unlabeled"]
+    assert len(ds2["synth"]) == 2 * n_synth_alone  # strong concat-ed in
+    item = ds2["synth"][0]  # first item comes from the strong part
+    assert item["audio"].shape == (2 * 16000,)
+
+    config["training"]["batch_size"] = [2, 2, 2, 2]
+    _, _, slots3 = build_train_datasets(config, encoder, strong_real=False)
+    assert [s.name for s in slots3] == ["synth", "strong", "weak", "unlabeled"]
+
+
+def test_strong_real_trains(corpus, tmp_path):
+    config = make_config(corpus)
+    config["data"]["strong_folder"] = str(corpus / "synth")
+    config["data"]["strong_tsv"] = str(corpus / "meta" / "synth.tsv")
+    state, results = single_run(
+        config, str(tmp_path / "exp_sr"), fast_dev_run=True, fast=False,
+        strong_real=True,
+    )
+    assert results is not None
+
+
+@pytest.mark.parametrize(
+    "year,script,has_strong_real",
+    [
+        ("dcase2021_task4_baseline", "train_sed.py", False),
+        ("dcase2022_task4_baseline", "train_sed.py", True),
+        ("dcase2022_task4_baseline", "train_pretrained.py", False),
+        ("dcase2023_task4_baseline", "train_sed.py", True),
+        ("dcase2023_task4_baseline", "train_pretrained.py", True),
+        ("dcase2024_task4_baseline", "train_pretrained.py", False),
+    ],
+)
+def test_train_cli_flag_contract(year, script, has_strong_real):
+    """Every train CLI exposes the reference's full flag surface
+    (--eval_from_checkpoint everywhere, --strong_real where the reference
+    has it: 2022/2023 train_sed, 2023 train_pretrained)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _P
+
+    path = _P("recipes") / year / script
+    out = subprocess.run(
+        [_sys.executable, str(path), "--help"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    for flag in ("--eval_from_checkpoint", "--test_from_checkpoint",
+                 "--resume_from_checkpoint", "--fast_dev_run", "--conf_file"):
+        assert flag in out.stdout, (path, flag)
+    assert ("--strong_real" in out.stdout) == has_strong_real, path
+
+
 def test_single_run_sharded_multidevice(corpus, tmp_path):
     """Slot sizes divisible by the 8 virtual devices -> single_run picks the
     shard_map step and trains data-parallel."""
