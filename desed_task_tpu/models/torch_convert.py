@@ -198,14 +198,63 @@ def convert_beats_state_dict(state_dict: Mapping[str, Any]) -> dict:
     return params
 
 
+def beats_config_from_checkpoint(cfg: Mapping[str, Any]):
+    """Released-checkpoint ``cfg`` dict -> models.beats.BEATsConfig.
+
+    The released BEATs files store a plain dict (BEATs.py:24-90 field names);
+    fields our inference encoder does not model (pretraining dropouts,
+    quantizer widths, predictor head) are ignored.
+    """
+    import dataclasses
+
+    from .beats import BEATsConfig
+
+    fields = {f.name for f in dataclasses.fields(BEATsConfig)}
+    kwargs = {k: v for k, v in dict(cfg).items() if k in fields}
+    kwargs["dropout"] = 0.0  # inference encoder
+    return BEATsConfig(**kwargs)
+
+
 def load_beats_checkpoint(ckpt_path: str):
-    """Load a torch BEATs checkpoint file -> (BEATsConfig kwargs, params)."""
+    """Load a torch BEATs checkpoint file -> (BEATsConfig, params).
+
+    Matches the released layout the reference loads at BEATs.py:190-208:
+    {"cfg": <dict>, "model": <state_dict incl. weight-norm pos_conv
+    weight_g/weight_v and, for fine-tuned files, predictor.* keys>}.
+    """
     import torch
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    cfg = ckpt.get("cfg", {})
+    cfg = beats_config_from_checkpoint(ckpt.get("cfg", {}))
     params = convert_beats_state_dict(ckpt["model"])
     return cfg, params
+
+
+def load_panns_checkpoint(ckpt_path: str) -> dict:
+    """Released PANNs Cnn14_16k file ({"model": state_dict},
+    extract_embeddings.py:174-179) -> flax variables."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    return convert_panns_state_dict(sd)
+
+
+def load_ast_checkpoint(ckpt_path: str) -> dict:
+    """Released AST audioset file (a DataParallel state_dict with "module."
+    prefixes, ast_models.py:223-240) -> flax params."""
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and not hasattr(
+        sd["model"], "shape"
+    ):
+        sd = sd["model"]
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+    return convert_ast_state_dict(sd)
 
 
 def convert_panns_state_dict(state_dict: Mapping[str, Any]) -> dict:

@@ -119,7 +119,9 @@ class TrainLoop:
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.monotonic()
             metrics = {}
+            step_busy = 0.0
             for batch in self._batches():
+                ts = time.monotonic()
                 self.state, metrics = self.step_fn(self.state, batch, self.rng)
                 step_count += 1
                 if step_count % self.log_every == 0:
@@ -135,10 +137,13 @@ class TrainLoop:
                     # restart the process periodically via checkpoint
                     # resume; see docs/performance.md.)
                     float(next(iter(metrics.values())))
+                # the per-step sync above makes dispatch->fetch bracket the
+                # device execution, so this window (NOT the whole epoch,
+                # which includes host data stalls) is the device-busy bound
+                step_busy += time.monotonic() - ts
             dt = time.monotonic() - t0
             if self.energy:
-                # duty cycle: only the train-step phase bills as device-busy
-                self.energy.record_busy(dt)
+                self.energy.record_busy(step_busy)
             steps = max(self.batcher.steps_per_epoch // self.accumulate_batches, 1)
             self.logger.log_scalars(
                 step_count,

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""A/B parity driver: reference-torch vs this repo on identical synthetic data.
+
+The strongest metric-parity evidence available without dataset egress
+(VERDICT r2 #1): generate ONE corpus, train the reference system (its own nn
+modules + training math, examples/ab_reference_torch.py) and this framework
+(`single_run`, fp32) with the same config/seed/budget, score both with the
+same metric stack, and compare trajectories across seeds
+(scripts/ab_compare.py).
+
+    python examples/ab_run.py --workdir /root/ab_data --phase generate
+    python examples/ab_run.py --workdir /root/ab_data --phase torch --seed 42
+    python examples/ab_run.py --workdir /root/ab_data --phase jax   --seed 42
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+FS = 16000
+DUR = 5.0  # shorter clips keep the 1-core torch mirror tractable
+
+
+def build_config(root: Path, epochs: int, seed: int) -> dict:
+    return {
+        "training": {
+            "batch_size": [12, 12, 24],
+            "batch_size_val": 24,
+            "const_max": 2,
+            "n_epochs_warmup": max(epochs // 4, 1),
+            "num_workers": 2,
+            "n_epochs": epochs,
+            "gradient_clip": 5.0,
+            "n_test_thresholds": 20,
+            "ema_factor": 0.999,
+            "self_sup_loss": "mse",
+            "validation_interval": 5,
+            "weak_split": 0.9,
+            "seed": seed,
+            "mixup": "soft",
+            "mixup_prob": 0.5,
+            "obj_metric_synth_type": "intersection",
+        },
+        "scaler": {"statistic": "instance", "normtype": "minmax",
+                   "dims": [1, 2]},
+        "data": {
+            "synth_folder": str(root / "audio" / "synth"),
+            "synth_tsv": str(root / "meta" / "synth.tsv"),
+            "weak_folder": str(root / "audio" / "weak"),
+            "weak_tsv": str(root / "meta" / "weak.tsv"),
+            "unlabeled_folder": str(root / "audio" / "unlab"),
+            "synth_val_folder": str(root / "audio" / "synth_val"),
+            "synth_val_tsv": str(root / "meta" / "synth_val.tsv"),
+            "synth_val_dur": str(root / "meta" / "synth_val_dur.tsv"),
+            "test_folder": str(root / "audio" / "test"),
+            "test_tsv": str(root / "meta" / "test.tsv"),
+            "test_dur": str(root / "meta" / "test_dur.tsv"),
+            "audio_max_len": DUR,
+            "fs": FS,
+            "net_subsample": 4,
+        },
+        "opt": {"lr": 0.001},
+        "feats": {
+            "n_mels": 128, "n_filters": 2048, "hop_length": 256,
+            "n_window": 2048, "sample_rate": FS, "f_min": 0, "f_max": 8000,
+        },
+        # the reference architecture family at ~2.5x reduced width so the
+        # 1-core torch mirror finishes in ~1 h; BOTH sides train this net
+        "net": {
+            "dropout": 0.5,
+            "n_layers_RNN": 2,
+            "n_in_channel": 1,
+            "nclass": 10,
+            "attention": True,
+            "n_RNN_cell": 64,
+            "activation": "glu",
+            "rnn_type": "BGRU",
+            "kernel_size": [3] * 7,
+            "padding": [1] * 7,
+            "stride": [1] * 7,
+            "nb_filters": [16, 32, 64, 64, 64, 64, 64],
+            "pooling": [[2, 2], [2, 2], [1, 2], [1, 2], [1, 2], [1, 2], [1, 2]],
+            "median_filter": 7,
+        },
+    }
+
+
+def phase_generate(root: Path, n_train: int):
+    from examples.quickstart_synthetic import generate_corpus, make_soundbank
+    from desed_task_tpu.tools.soundscapes import (
+        SoundscapeConfig, SoundscapeGenerator,
+    )
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    soundbank = make_soundbank(root, rng)
+    for split, n, s in [
+        ("synth", n_train, 0),
+        ("synth_val", max(n_train // 3, 8), 1),
+        ("test", max(n_train // 3, 8), 2),
+        ("weak", n_train, 3),
+        ("unlab", n_train * 2, 4),
+    ]:
+        gen = SoundscapeGenerator(
+            soundbank / "foreground", soundbank / "background",
+            SoundscapeConfig(duration=DUR), seed=s,
+        )
+        gen.generate(n, root / "audio" / split, root / "meta" / f"{split}.tsv")
+        print(f"[generate] {split}: {n}", flush=True)
+    for split in ("synth_val", "test"):
+        files = sorted((root / "audio" / split).glob("*.wav"))
+        pd.DataFrame(
+            [(f.name, DUR) for f in files], columns=["filename", "duration"]
+        ).to_csv(root / "meta" / f"{split}_dur.tsv", sep="\t", index=False)
+    weak_df = pd.read_csv(root / "meta" / "weak.tsv", sep="\t").dropna()
+    weak_labels = (
+        weak_df.groupby("filename")["event_label"]
+        .apply(lambda s: ",".join(sorted(set(s))))
+        .reset_index()
+        .rename(columns={"event_label": "event_labels"})
+    )
+    weak_labels.to_csv(root / "meta" / "weak.tsv", sep="\t", index=False)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--phase", choices=["generate", "torch", "jax"],
+                   required=True)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n_train", type=int, default=300)
+    args = p.parse_args()
+    root = Path(args.workdir)
+
+    if args.phase == "generate":
+        phase_generate(root, args.n_train)
+        return
+
+    config = build_config(root, args.epochs, args.seed)
+    log_dir = root / "exp" / f"{args.phase}_seed{args.seed}"
+    if args.phase == "torch":
+        from examples.ab_reference_torch import train_torch
+
+        train_torch(config, str(log_dir), seed=args.seed)
+    else:
+        from desed_task_tpu.training.single_run import single_run
+
+        _, results = single_run(config, str(log_dir), fast=False)
+        out = {k: v for k, v in (results or {}).items()
+               if isinstance(v, float)}
+        (log_dir / "test_results.json").write_text(json.dumps(out, indent=2))
+        print("[jax] test:", json.dumps(out, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

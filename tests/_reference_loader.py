@@ -38,8 +38,16 @@ def _install_torchaudio_stub():
 
     transforms.TimeMasking = TimeMasking
     ta.transforms = transforms
+    # beats/BEATs.py imports torchaudio.compliance.kaldi at module level;
+    # only its preprocess() path (never run in tests) touches it
+    compliance = types.ModuleType("torchaudio.compliance")
+    kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+    compliance.kaldi = kaldi
+    ta.compliance = compliance
     sys.modules["torchaudio"] = ta
     sys.modules["torchaudio.transforms"] = transforms
+    sys.modules["torchaudio.compliance"] = compliance
+    sys.modules["torchaudio.compliance.kaldi"] = kaldi
 
 
 def load_reference_crnn_module():
