@@ -91,6 +91,8 @@ class CRNN(nn.Module):
     packed_dropout: bool = True
     # fused Pallas conv-block kernels (ops/pallas_cnn.py); None = auto
     fused_blocks: Any = None
+    # Pallas BiGRU recurrence kernel (ops/pallas_gru.py); None = auto (TPU)
+    rnn_pallas: Any = None
 
     @property
     def _n_layers(self) -> int:
@@ -197,6 +199,7 @@ class CRNN(nn.Module):
             hidden=self.n_RNN_cell,
             num_layers=self._n_layers,
             dropout=self.dropout_recurrent,
+            pallas_recurrence=self.rnn_pallas,
             name="rnn",
         )(x, train=train)
         x = dropout(x)

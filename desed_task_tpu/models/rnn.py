@@ -127,6 +127,17 @@ class BidirectionalGRU(nn.Module):
     dropout: float = 0.0
     fused_directions: bool = True
     unroll: int = 4
+    # None = auto (Pallas recurrence kernel on TPU, scan elsewhere);
+    # True/False force; "interpret" runs the kernel in interpret mode
+    pallas_recurrence: bool | str | None = None
+
+    def _use_pallas(self) -> bool:
+        mode = self.pallas_recurrence
+        if mode is None:
+            import jax as _jax
+
+            mode = _jax.default_backend() == "tpu"
+        return bool(mode)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -144,9 +155,19 @@ class BidirectionalGRU(nn.Module):
                 (wi_b, wh_b, bi_b, bh_b) = params["bwd"]
                 xg_f = x @ wi_f.T + bi_f
                 xg_b = x @ wi_b.T + bi_b
-                fwd, bwd = _bigru_fused_scan(
-                    x, wh_f, bh_f, wh_b, bh_b, xg_f, xg_b, unroll=self.unroll
-                )
+                if self._use_pallas():
+                    from ..ops.pallas_gru import bigru_pallas
+
+                    fwd, bwd = bigru_pallas(
+                        xg_f, xg_b, wh_f, bh_f, wh_b, bh_b
+                    )
+                    fwd = fwd.astype(x.dtype)
+                    bwd = bwd.astype(x.dtype)
+                else:
+                    fwd, bwd = _bigru_fused_scan(
+                        x, wh_f, bh_f, wh_b, bh_b, xg_f, xg_b,
+                        unroll=self.unroll,
+                    )
                 del scale
             else:
                 fwd = GRULayer(self.hidden, reverse=False, name=f"l{layer}_fwd")(x)

@@ -135,6 +135,9 @@ def main():
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_train", type=int, default=300)
+    p.add_argument("--fast", action="store_true",
+                   help="jax phase only: bf16 MXU + fused Pallas kernels "
+                        "(the 17x path) — for the precision-convergence A/B")
     args = p.parse_args()
     root = Path(args.workdir)
 
@@ -143,7 +146,8 @@ def main():
         return
 
     config = build_config(root, args.epochs, args.seed)
-    log_dir = root / "exp" / f"{args.phase}_seed{args.seed}"
+    name = args.phase + ("fast" if args.fast else "")
+    log_dir = root / "exp" / f"{name}_seed{args.seed}"
     if args.phase == "torch":
         from examples.ab_reference_torch import train_torch
 
@@ -151,7 +155,7 @@ def main():
     else:
         from desed_task_tpu.training.single_run import single_run
 
-        _, results = single_run(config, str(log_dir), fast=False)
+        _, results = single_run(config, str(log_dir), fast=args.fast)
         out = {k: v for k, v in (results or {}).items()
                if isinstance(v, float)}
         (log_dir / "test_results.json").write_text(json.dumps(out, indent=2))
