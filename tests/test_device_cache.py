@@ -213,3 +213,65 @@ def test_eval_cache_predict_matches_host(corpus):
     assert set(host[0]) == set(dev[0])
     for k in host[0]:
         pd.testing.assert_frame_equal(host[0][k], dev[0][k])
+
+
+def test_cached_accumulate_matches_host(corpus):
+    """accumulate>1 through the cache (vmap'd gather over the micro axis)
+    equals the host stacked-batch path."""
+    import jax
+
+    from desed_task_tpu.models import CRNN
+    from desed_task_tpu.ops.frontend import MelConfig
+    from desed_task_tpu.training.mean_teacher import (
+        MeanTeacherConfig, SlotSpec, create_state, make_optimizer,
+        make_train_step,
+    )
+
+    ds = make_datasets(corpus)
+    order = ["synth", "weak", "unlabeled"]
+    sizes = {"synth": 2, "weak": 2, "unlabeled": 2}
+    cfg = MeanTeacherConfig(
+        slots=(SlotSpec("synth", 2, "strong"), SlotSpec("weak", 2, "weak"),
+               SlotSpec("unlabeled", 2, "unlabeled")),
+        mixup=None, mixup_groups=(), const_max=2.0, self_sup_loss="mse",
+        rampup_steps=10, ema_factor=0.99,
+    )
+    model = CRNN(nclass=10, n_RNN_cell=16, nb_filters=[8, 8],
+                 kernel_size=[3, 3], padding=[1, 1], stride=[1, 1],
+                 pooling=[[2, 8], [2, 8]], attention=True)
+    mel = MelConfig(n_fft=1024, win_length=1024, hop_length=256, n_mels=64)
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+
+    batcher = MultiSourceBatcher(ds, sizes, seed=0, num_workers=1)
+    host_batch = next(iter(batcher.epoch(steps=1)))
+    state = create_state(model, cfg, tx, jax.random.key(0), host_batch,
+                         mel_cfg=mel)
+    ACC = 2
+    inner = make_train_step(model, cfg, tx, sched, mel_cfg=mel,
+                            accumulate=ACC)
+
+    cache = DeviceResidentData.build(ds, order, verbose=False)
+    cache.upload(verbose=False)
+    build = cache.batch_builder(sizes)
+    cached_step = jax.jit(
+        lambda st, stores, idx, rng: inner(
+            st, jax.vmap(build, in_axes=(None, 0))(stores, idx), rng
+        )
+    )
+    host_step = jax.jit(lambda st, b, rng: inner(st, b, rng))
+
+    b2 = MultiSourceBatcher(ds, sizes, seed=9, num_workers=1)
+    idxs = list(b2.epoch_indices(steps=ACC))
+    flat = np.stack([cache.flat_index(i) for i in idxs])  # [ACC, B]
+    host_micro = [
+        {s: collate([ds[s][j] for j in i[s]]) for s in i} for i in idxs
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, 0), *host_micro
+    )
+    rng = jax.random.key(5)
+    st1, m1 = host_step(state, jax.device_put(stacked), rng)
+    st2, m2 = cached_step(state, cache.stores, jnp.asarray(flat), rng)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=0, atol=0,
+                                   err_msg=k)
