@@ -58,7 +58,9 @@ class MelConfig:
     db_clamp_min: float | None = -50.0
     db_clamp_max: float | None = 80.0
     # "matmul" (GEMM-native DFT on the MXU) is ~3x faster than XLA's TPU FFT
-    # for these sizes (measured: 6.8 ms vs 21 ms for B=60 10-s clips on v5e)
+    # for these sizes (measured: 6.8 ms vs 21 ms for B=60 10-s clips on v5e);
+    # "chunked" reuses hop-sized chunk DFTs across overlapping frames (8x
+    # fewer MXU FLOPs; periodic-window stencil — see _chunk_dft_spectrogram)
     backend: str = "matmul"
     # "bfloat16" runs the DFT/mel GEMMs with bf16 inputs + fp32 accumulation
     # (4x MXU throughput); "float32" is bit-parity with the reference
@@ -187,6 +189,81 @@ def _dft_basis(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
     return cos_b, sin_b
 
 
+def _window_stencil(kind: str) -> tuple[float, float]:
+    """(a0, a1) of the generalized-cosine window w[n] = a0 - a1 cos(2pi n/N)."""
+    if kind == "hamming":
+        return 0.54, 0.46
+    if kind == "hann":
+        return 0.5, 0.5
+    raise ValueError(f"no frequency-domain stencil for window {kind!r}")
+
+
+def _chunk_dft_spectrogram(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """Power spectrum via hop-sized chunk DFTs (8x fewer MXU FLOPs).
+
+    Adjacent frames overlap by n_fft - hop samples, so the direct windowed
+    DFT recomputes almost every product. Instead: (1) one unwindowed DFT of
+    each hop-length chunk on the 1/n_fft frequency grid — a GEMM with a
+    [hop, n_freqs] basis instead of [n_fft, n_freqs], hop/n_fft the FLOPs;
+    (2) each frame's spectrum is the twiddled sum of its ratio=n_fft/hop
+    chunk spectra (cheap shifted FMAs); (3) the window is applied exactly in
+    the frequency domain as the 3-tap stencil of the PERIODIC generalized-
+    cosine window, using conjugate symmetry at the k=0 / Nyquist edges.
+
+    For cfg.periodic_window=False (the reference's torch.stft symmetric
+    window) this substitutes the periodic window: the two differ by at most
+    ~1.4e-3 relative for n_fft=2048 — below bfloat16 input rounding, which
+    is the only regime where this backend is intended (the fp32
+    reference-parity path stays on backend="matmul"/"fft").
+    """
+    if cfg.n_fft % cfg.hop_length != 0:
+        raise ValueError("chunked backend needs hop | n_fft")
+    if cfg.win_length != cfg.n_fft:
+        raise ValueError("chunked backend needs win_length == n_fft")
+    a0, a1 = _window_stencil(cfg.window)
+    hop, n_fft, n_freqs = cfg.hop_length, cfg.n_fft, cfg.n_freqs
+    ratio = n_fft // hop
+    if cfg.center:
+        p = n_fft // 2
+        audio = jnp.pad(audio, ((0, 0), (p, p)), mode=cfg.pad_mode)
+    n = audio.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop
+    n_chunks = n // hop
+    chunks = audio[:, : n_chunks * hop].reshape(-1, n_chunks, hop)
+
+    k = np.arange(n_freqs, dtype=np.float64)
+    t = np.arange(hop, dtype=np.float64)
+    ang = 2.0 * math.pi * np.outer(t, k) / n_fft
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    c_re = jnp.dot(chunks.astype(cdt), jnp.asarray(np.cos(ang), cdt),
+                   preferred_element_type=jnp.float32)
+    c_im = jnp.dot(chunks.astype(cdt), jnp.asarray(-np.sin(ang), cdt),
+                   preferred_element_type=jnp.float32)
+
+    # twiddle e^{-2pi i k (j*hop)/n_fft} per chunk offset j
+    jk = 2.0 * math.pi * np.outer(np.arange(ratio), k) * hop / n_fft
+    w_re = jnp.asarray(np.cos(jk), jnp.float32)
+    w_im = jnp.asarray(-np.sin(jk), jnp.float32)
+    x_re = jnp.zeros((chunks.shape[0], n_frames, n_freqs), jnp.float32)
+    x_im = jnp.zeros_like(x_re)
+    for j in range(ratio):  # static unroll; XLA fuses the shifted FMAs
+        cr = c_re[:, j : j + n_frames]
+        ci = c_im[:, j : j + n_frames]
+        x_re = x_re + w_re[j] * cr - w_im[j] * ci
+        x_im = x_im + w_re[j] * ci + w_im[j] * cr
+
+    # periodic window as a frequency-domain stencil:
+    #   Xw(k) = a0 X(k) - a1/2 [X(k-1) + X(k+1)]
+    # with X(-1) = conj(X(1)) and X(n_freqs) = conj(X(n_freqs - 2))
+    m1_re = jnp.concatenate([x_re[..., 1:2], x_re[..., :-1]], -1)
+    m1_im = jnp.concatenate([-x_im[..., 1:2], x_im[..., :-1]], -1)
+    p1_re = jnp.concatenate([x_re[..., 1:], x_re[..., -2:-1]], -1)
+    p1_im = jnp.concatenate([x_im[..., 1:], -x_im[..., -2:-1]], -1)
+    xw_re = a0 * x_re - 0.5 * a1 * (m1_re + p1_re)
+    xw_im = a0 * x_im - 0.5 * a1 * (m1_im + p1_im)
+    return xw_re * xw_re + xw_im * xw_im
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def spectrogram(
     audio: jnp.ndarray, cfg: MelConfig, backend: str | None = None
@@ -197,6 +274,16 @@ def spectrogram(
     if squeeze:
         audio = audio[None]
     audio = audio.astype(jnp.float32)
+    if backend == "chunked":
+        mag2 = _chunk_dft_spectrogram(audio, cfg)
+        if cfg.power == 1.0:
+            out = jnp.sqrt(jnp.maximum(mag2, 0.0))
+        elif cfg.power == 2.0:
+            out = mag2
+        else:
+            out = jnp.maximum(mag2, 0.0) ** (cfg.power / 2.0)
+        out = jnp.swapaxes(out, -1, -2)
+        return out[0] if squeeze else out
     frames = frame_signal(audio, cfg)  # [B, T, n_fft]
     if backend == "fft":
         w = jnp.asarray(

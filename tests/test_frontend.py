@@ -133,3 +133,46 @@ def test_dataset_scaler_fit_and_apply():
     # matches the reference streaming formula computed directly
     means = np.stack([b.mean(axis=(1, 2), keepdims=True).mean(0) for b in batches])
     np.testing.assert_allclose(np.asarray(state.mean)[0], means.mean(0), rtol=1e-5)
+
+
+# --- chunked (chunk-DFT) backend ------------------------------------------
+
+
+@pytest.mark.parametrize("window,power", [("hann", 1.0), ("hamming", 2.0)])
+def test_chunked_backend_exact_for_periodic_windows(window, power):
+    """With a periodic window the chunk-DFT + frequency-stencil path is the
+    same math as the direct windowed DFT, up to summation order."""
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32)
+    cfg = MelConfig(window=window, periodic_window=True, power=power)
+    ref = np.asarray(frontend.spectrogram(jnp.asarray(audio), cfg, "matmul"))
+    got = np.asarray(frontend.spectrogram(jnp.asarray(audio), cfg, "chunked"))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_chunked_backend_approximates_symmetric_window():
+    """The reference's symmetric hamming differs from the periodic one by
+    <=1.4e-3 relative at n_fft=2048 — the chunked backend's documented
+    approximation must land within that envelope on log-mel features."""
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    cfg = MelConfig()  # hamming, periodic_window=False (reference feats)
+    ref = np.asarray(frontend.log_mel_spectrogram(jnp.asarray(audio), cfg,
+                                                  "matmul"))
+    got = np.asarray(frontend.log_mel_spectrogram(jnp.asarray(audio), cfg,
+                                                  "chunked"))
+    # dB scale: the window substitution moves log-mel by well under 0.1 dB
+    assert np.max(np.abs(got - ref)) < 0.1
+
+
+def test_chunked_backend_ragged_length_matches_frame_count():
+    cfg = MelConfig(window="hann", periodic_window=True)
+    n = 16000 + 100  # n + 2*pad not divisible by hop
+    audio = np.random.default_rng(2).standard_normal((1, n)).astype(np.float32)
+    ref = np.asarray(frontend.spectrogram(jnp.asarray(audio), cfg, "matmul"))
+    got = np.asarray(frontend.spectrogram(jnp.asarray(audio), cfg, "chunked"))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3 * np.abs(ref).max(),
+                               rtol=2e-3)
