@@ -61,7 +61,7 @@ def main():
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(1, len(VAL_KEYS), figsize=(5 * len(VAL_KEYS), 4))
-    colors = {"torch": "#d62728", "jax": "#1f77b4"}
+    colors = {"torch": "#d62728", "jax": "#1f77b4", "jaxfast": "#2ca02c"}
     for ax, key in zip(np.atleast_1d(axes), VAL_KEYS):
         for name, (curves, _, spe) in sorted(runs.items()):
             steps, vals = curves[key]

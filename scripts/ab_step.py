@@ -36,6 +36,8 @@ def build(variant: str):
         kwargs["packed_dropout"] = False
     elif variant == "nofused":
         kwargs["fused_blocks"] = False
+    elif variant in ("gru_scan", "gru_pallas"):
+        kwargs["rnn_pallas"] = variant == "gru_pallas"
     model = crnn_2024(**kwargs)
     n_class, t_lab = 27, 156
     rng = np.random.default_rng(0)
@@ -48,6 +50,8 @@ def build(variant: str):
             "class_mask": np.ones((s.size, n_class), bool),
         }
     mel_cfg = MelConfig(compute_dtype="bfloat16")
+    if variant == "mel_chunked":
+        mel_cfg = MelConfig(compute_dtype="bfloat16", backend="chunked")
     tx, sched = make_optimizer(lr=1e-3, rampup_steps=1000)
     state = create_state(model, cfg, tx, jax.random.key(0), batch)
     step = jax.jit(
