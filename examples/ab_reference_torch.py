@@ -327,6 +327,13 @@ def train_torch(config: dict, log_dir: str, seed: int = 42):
                 best_state_teacher = {
                     k: v.clone() for k, v in teacher.state_dict().items()
                 }
+                # crash safety on multi-hour 1-core runs: the test battery
+                # can be replayed from disk if the process dies late
+                torch.save(
+                    {"student": best_state, "teacher": best_state_teacher,
+                     "epoch": epoch, "obj": best_obj},
+                    Path(log_dir) / "best.pt",
+                )
 
     if best_state is not None:
         student.load_state_dict(best_state)
