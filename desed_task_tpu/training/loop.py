@@ -19,6 +19,7 @@ import numpy as np
 from ..obs.checkpoint import CheckpointManager
 from ..obs.energy import EnergyTracker
 from ..obs.logging import MetricsLogger
+from ..obs.watchdog import StallWatchdog
 from ..parallel import shard_batch
 
 
@@ -40,6 +41,7 @@ class TrainLoop:
         energy: Optional[EnergyTracker] = None,
         accumulate_batches: int = 1,
         index_cache=None,  # data.device_cache.DeviceResidentData (uploaded)
+        watchdog: Optional[StallWatchdog] = None,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -56,6 +58,7 @@ class TrainLoop:
         self.energy = energy
         self.accumulate_batches = accumulate_batches
         self.index_cache = index_cache
+        self.watchdog = watchdog
         self.best_obj = -np.inf
         self.epochs_since_best = 0
         self.start_epoch = 0
@@ -115,11 +118,18 @@ class TrainLoop:
     def run(self):
         if self.energy:
             self.energy.start()
+        wd = self.watchdog
+        if wd is not None:
+            wd.start()
         step_count = 0
         for epoch in range(self.start_epoch, self.n_epochs):
             t0 = time.monotonic()
             metrics = {}
             step_busy = 0.0
+            if wd is not None:
+                # armed only while steps are issued: validation/test device
+                # work has no regular heartbeat and must not trip the probe
+                wd.arm()
             for batch in self._batches():
                 ts = time.monotonic()
                 self.state, metrics = self.step_fn(self.state, batch, self.rng)
@@ -141,6 +151,10 @@ class TrainLoop:
                 # device execution, so this window (NOT the whole epoch,
                 # which includes host data stalls) is the device-busy bound
                 step_busy += time.monotonic() - ts
+                if wd is not None:
+                    wd.beat()
+            if wd is not None:
+                wd.disarm()
             dt = time.monotonic() - t0
             if self.energy:
                 self.energy.record_busy(step_busy)
@@ -183,4 +197,12 @@ class TrainLoop:
         if self.energy:
             kwh = self.energy.stop()
             self.logger.log_scalars(step_count, {"train/energy_kwh_estimate": kwh})
+        if wd is not None:
+            wd.stop()
+            if wd.stalls:
+                self.logger.log_scalars(
+                    step_count,
+                    {f"train/watchdog_{k}": float(v)
+                     for k, v in wd.stats().items()},
+                )
         return self.state

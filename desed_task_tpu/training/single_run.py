@@ -30,6 +30,7 @@ from ..obs.checkpoint import CheckpointManager
 from ..obs.energy import EnergyTracker
 from ..obs.logging import MetricsLogger
 from ..obs.macs import macs_report
+from ..obs.watchdog import StallWatchdog
 from ..ops.frontend import MelConfig
 from ..ops.scaler import ScalerConfig, fit_scaler
 from ..utils.classes_dict import (
@@ -505,6 +506,9 @@ def single_run(
         energy=energy,
         accumulate_batches=accumulate,
         index_cache=cache,
+        # auto-enabled on real accelerators: unwedges a stalled tunneled
+        # device fetch by probing from a subprocess (obs/watchdog.py)
+        watchdog=StallWatchdog(),
     )
 
     test_results = None
