@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Collect the reference-torch vs repo A/B artifacts into docs/ab_parity/.
 
-Reads /root/ab_data/exp/{torch,jax}_seed*/metrics.csv + test_results.json,
-plots the validation trajectories side by side, and writes a summary table.
+Reads /root/ab_data/exp/{torch,jax,jaxfast}_seed*/metrics.csv +
+test_results.json, plots the validation trajectories side by side (per-run
+lines + per-framework seed envelopes), and writes a summary table with
+breakout epochs and the full test battery.
 
     python scripts/ab_compare.py [--root /root/ab_data/exp] [--out docs/ab_parity]
 """
@@ -19,6 +21,11 @@ VAL_KEYS = [
     "val/weak/student/macro_F1",
     "val/synth/student/intersection_f1_macro",
 ]
+TEST_KEYS = [
+    "psds1", "psds2", "psds1_sed_scores_eval",
+    "intersection_f1_macro", "event_f1_macro",
+]
+BREAKOUT = 0.1  # first epoch with obj above this
 
 
 def load_run(d: Path):
@@ -43,6 +50,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/root/ab_data/exp")
     p.add_argument("--out", default="docs/ab_parity")
+    p.add_argument("--skip", nargs="*", default=[],
+                   help="run dirs to exclude (e.g. smoke runs)")
     args = p.parse_args()
     root = Path(args.root)
     out = Path(args.out)
@@ -50,53 +59,72 @@ def main():
 
     runs = {}
     for d in sorted(root.glob("*_seed*")):
-        if (d / "metrics.csv").exists():
+        if d.name in args.skip:
+            continue
+        if (d / "metrics.csv").exists() and (d / "test_results.json").exists():
             runs[d.name] = load_run(d)
     if not runs:
-        raise SystemExit(f"no runs under {root}")
+        raise SystemExit(f"no completed runs under {root}")
 
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, len(VAL_KEYS), figsize=(5 * len(VAL_KEYS), 4))
     colors = {"torch": "#d62728", "jax": "#1f77b4", "jaxfast": "#2ca02c"}
+    fig, axes = plt.subplots(1, len(VAL_KEYS), figsize=(5 * len(VAL_KEYS), 4))
     for ax, key in zip(np.atleast_1d(axes), VAL_KEYS):
+        by_fw: dict[str, list] = {}
         for name, (curves, _, spe) in sorted(runs.items()):
             steps, vals = curves[key]
             if not len(steps):
                 continue
             fw = name.split("_")[0]
             x = steps / (spe or 1)
-            ax.plot(x, vals, marker="o", ms=3, lw=1.2,
-                    color=colors.get(fw, "gray"),
-                    alpha=0.8, label=name)
+            ax.plot(x, vals, marker="o", ms=3, lw=1.0,
+                    color=colors.get(fw, "gray"), alpha=0.75, label=name)
+            by_fw.setdefault(fw, []).append((x, vals))
+        # per-framework min/max envelope across seeds (>=2 seeds only)
+        for fw, series in by_fw.items():
+            if len(series) < 2:
+                continue
+            grid = series[0][0]
+            mat = np.stack([
+                np.interp(grid, x, v) for x, v in series
+            ])
+            ax.fill_between(grid, mat.min(0), mat.max(0),
+                            color=colors.get(fw, "gray"), alpha=0.12, lw=0)
         ax.set_title(key.replace("val/", ""), fontsize=10)
         ax.set_xlabel("epoch")
         ax.grid(alpha=0.25)
     handles, labels = np.atleast_1d(axes)[0].get_legend_handles_labels()
     fig.legend(handles, labels, loc="lower center",
                ncol=max(len(runs), 1), fontsize=8, frameon=False)
-    fig.suptitle("Reference (torch, red) vs this repo (jax, blue) — "
-                 "identical corpus/config/seeds, shared metric stack")
-    fig.tight_layout(rect=[0, 0.08, 1, 1])
+    fig.suptitle(
+        "Reference (torch, red) vs this repo (jax fp32, blue; bf16+Pallas "
+        "fast path, green) — identical corpus/config/seed budget, shared "
+        "metric stack; shaded = across-seed min/max envelope"
+    )
+    fig.tight_layout(rect=[0, 0.1, 1, 1])
     fig.savefig(out / "curves.png", dpi=130)
 
-    # summary table
-    lines = ["| run | final obj | best obj | test psds1 | test psds2 | "
-             "test intersection-F1 | test event-F1 |",
-             "|---|---|---|---|---|---|---|"]
-    for name, (curves, test, _) in sorted(runs.items()):
-        _, vals = curves["val/obj_metric"]
-        fo = f"{vals[-1]:.4f}" if len(vals) else "-"
-        bo = f"{vals.max():.4f}" if len(vals) else "-"
+    header = (
+        "| run | best obj | final obj | breakout ep | "
+        + " | ".join(k.replace("_macro", "") for k in TEST_KEYS) + " |"
+    )
+    lines = [header, "|" + "---|" * (4 + len(TEST_KEYS))]
+    for name, (curves, test, spe) in sorted(runs.items()):
+        steps, vals = curves["val/obj_metric"]
+        epochs = steps / (spe or 1)
+        bo = f"{vals.max():.3f}" if len(vals) else "-"
+        fo = f"{vals[-1]:.3f}" if len(vals) else "-"
+        above = epochs[vals > BREAKOUT] if len(vals) else []
+        brk = f"{above[0]:.0f}" if len(above) else "-"
+        cells = [
+            f"{test[k]:.4f}" if k in test else "-" for k in TEST_KEYS
+        ]
         lines.append(
-            f"| {name} | {fo} | {bo} | "
-            f"{test.get('psds1', float('nan')):.4f} | "
-            f"{test.get('psds2', float('nan')):.4f} | "
-            f"{test.get('intersection_f1_macro', float('nan')):.4f} | "
-            f"{test.get('event_f1_macro', float('nan')):.4f} |"
+            f"| {name} | {bo} | {fo} | {brk} | " + " | ".join(cells) + " |"
         )
     (out / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
