@@ -278,12 +278,14 @@ def build_config(root: Path, epochs: int) -> dict:
     }
 
 
-def phase_train(root: Path, epochs: int, resume: bool = False):
+def phase_train(root: Path, epochs: int, resume: bool = False,
+                fast: bool = True):
     from desed_task_tpu.training.single_run import single_run
 
     config = build_config(root, epochs)
-    exp = root / "exp"
-    state, results = single_run(config, str(exp), checkpoint_resume=resume)
+    exp = root / ("exp" if fast else "exp_fp32")
+    state, results = single_run(config, str(exp), checkpoint_resume=resume,
+                                fast=fast)
     out = {k: v for k, v in (results or {}).items() if isinstance(v, float)}
     (exp / "test_results.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
@@ -299,6 +301,10 @@ def main():
                    help="corpus size multiplier")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the last checkpoint")
+    p.add_argument("--fp32", action="store_true",
+                   help="train the fp32/XLA reference-parity path "
+                        "(default: bf16 + fused Pallas fast path) — "
+                        "for the precision convergence A/B")
     args = p.parse_args()
     root = Path(args.workdir)
     if args.phase in ("generate", "all"):
@@ -306,7 +312,8 @@ def main():
     if args.phase in ("extract", "all"):
         phase_extract(root)
     if args.phase in ("train", "all"):
-        phase_train(root, args.epochs, resume=args.resume)
+        phase_train(root, args.epochs, resume=args.resume,
+                    fast=not args.fp32)
 
 
 if __name__ == "__main__":
