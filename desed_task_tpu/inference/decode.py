@@ -67,11 +67,19 @@ def batched_decode_preds(
     thresholds=(0.5,),
     median_filter=None,
     pad_indx=None,
+    want_raw: bool = True,
+    want_post: bool = True,
 ):
     """strong_preds: [B, C, T] scores (np or jax array).
 
     median_filter: None | per-class window list | callable([T, C])->[T, C].
     Returns (scores_raw, scores_postprocessed, prediction_dfs).
+
+    ``want_raw``/``want_post`` gate the per-clip score-DataFrame
+    construction — the dominant cost of a decode pass (~70% of it is pandas
+    construction) and pure waste for callers that only consume event lists
+    (e.g. the validation objective). The returned dicts are empty when
+    gated off; event extraction is unaffected.
     """
     import jax.numpy as jnp
 
@@ -101,18 +109,20 @@ def batched_decode_preds(
             true_len = int(c_scores.shape[0] * float(pad_indx[j]))
             c_scores = c_scores[:true_len]
         timestamps = encoder._frame_to_time(np.arange(len(c_scores) + 1))
-        scores_raw[audio_id] = create_score_dataframe(
-            c_scores, timestamps, encoder.labels
-        )
+        if want_raw:
+            scores_raw[audio_id] = create_score_dataframe(
+                c_scores, timestamps, encoder.labels
+            )
         if smoothed is not None:
             c_post = smoothed[j].T[: len(c_scores)]
         elif med_callable is not None:
             c_post = med_callable(c_scores)
         else:
             c_post = c_scores
-        scores_postprocessed[audio_id] = create_score_dataframe(
-            c_post, timestamps, encoder.labels
-        )
+        if want_post:
+            scores_postprocessed[audio_id] = create_score_dataframe(
+                c_post, timestamps, encoder.labels
+            )
         for th in thresholds:
             rows_per_th[th].extend(
                 _events_from_activity(c_post > th, encoder, filename)

@@ -73,9 +73,17 @@ def predict_dataset(
     thresholds=(0.5,),
     median_filter=None,
     scaler=None,
+    want_raw: bool = True,
+    want_post: bool = True,
+    want_events: bool = True,
 ):
     """Forward a dataset, decode. Returns (scores_raw, scores_post,
     pred_dfs {th: DataFrame}, weak_probs [N, C], weak_targets [N, C]).
+
+    want_raw/want_post/want_events gate which outputs are materialized —
+    per-clip score-DataFrame construction dominates a decode pass, so
+    callers that only need weak probs (or only event lists) skip it. Gated
+    outputs come back empty.
 
     `dataset` may be a data.device_cache.DeviceEvalCache — batches then come
     as device-resident slices (no audio transfer per validation pass)."""
@@ -92,14 +100,17 @@ def predict_dataset(
             )
             strong = np.asarray(strong)[:n_real]
             weak = np.asarray(weak)[:n_real]
-            raw, post, dfs = batched_decode_preds(
-                strong, filenames, encoder,
-                thresholds=thresholds, median_filter=median_filter,
-            )
-            scores_raw_all.update(raw)
-            scores_post_all.update(post)
-            for th in thresholds:
-                dfs_all[th].append(dfs[th])
+            if want_raw or want_post or want_events:
+                raw, post, dfs = batched_decode_preds(
+                    strong, filenames, encoder,
+                    thresholds=thresholds if want_events else (),
+                    median_filter=median_filter,
+                    want_raw=want_raw, want_post=want_post,
+                )
+                scores_raw_all.update(raw)
+                scores_post_all.update(post)
+                for th in thresholds if want_events else ():
+                    dfs_all[th].append(dfs[th])
             weak_probs.append(weak)
             weak_targets.append((labels.sum(-1) > 0).astype(np.float32))
         return _assemble_predictions(
@@ -129,17 +140,19 @@ def predict_dataset(
         filenames = batch.get(
             "filename", [f"clip_{len(weak_probs)}_{i}" for i in range(n_real)]
         )
-        raw, post, dfs = batched_decode_preds(
-            strong,
-            filenames,
-            encoder,
-            thresholds=thresholds,
-            median_filter=median_filter,
-        )
-        scores_raw_all.update(raw)
-        scores_post_all.update(post)
-        for th in thresholds:
-            dfs_all[th].append(dfs[th])
+        if want_raw or want_post or want_events:
+            raw, post, dfs = batched_decode_preds(
+                strong,
+                filenames,
+                encoder,
+                thresholds=thresholds if want_events else (),
+                median_filter=median_filter,
+                want_raw=want_raw, want_post=want_post,
+            )
+            scores_raw_all.update(raw)
+            scores_post_all.update(post)
+            for th in thresholds if want_events else ():
+                dfs_all[th].append(dfs[th])
         weak_probs.append(np.asarray(weak))
         weak_targets.append((np.asarray(batch["labels"]).sum(-1) > 0).astype(np.float32))
     return _assemble_predictions(
@@ -221,16 +234,18 @@ class SEDValidator:
             _, _, _, probs, targets = predict_dataset(
                 self.predict_fn, params, stats, self.weak_set, self.encoder,
                 self.batch_size, thresholds=(0.5,), scaler=state.scaler,
+                want_raw=False, want_post=False, want_events=False,
             )
             weak_f1 = multilabel_f1_macro(probs, targets)
             scalars[f"val/weak/{tag}/macro_F1"] = weak_f1
             obj += weak_f1
 
         if self.synth_set is not None and self.synth_gt is not None:
-            _, post, dfs, _, _ = predict_dataset(
+            _, _, dfs, _, _ = predict_dataset(
                 self.predict_fn, params, stats, self.synth_set, self.encoder,
                 self.batch_size, thresholds=(0.5,),
                 median_filter=self.median_filter, scaler=state.scaler,
+                want_raw=False, want_post=False,
             )
             inter_f1 = compute_per_intersection_macro_f1(
                 dfs[0.5], self.synth_gt, self.synth_dur
@@ -249,6 +264,7 @@ class SEDValidator:
             _, post, _, _, _ = predict_dataset(
                 self.predict_fn, params, stats, self.maestro_set, self.encoder,
                 self.batch_size, thresholds=(0.5,), scaler=state.scaler,
+                want_raw=False, want_events=False,
             )
             classes = self.maestro_classes or self.encoder.labels
             gt = merge_maestro_ground_truth(self.maestro_gt)

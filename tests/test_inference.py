@@ -183,3 +183,33 @@ def test_best_fscore(rng):
     assert res["A"] == 1.0  # threshold between 0.1 and 0.9 separates perfectly
     assert res["macro_average"] == 1.0
     assert 0.1 <= aux["thresholds"]["A"] <= 0.9
+
+
+def test_batched_decode_output_gating(rng):
+    """want_raw/want_post gate DataFrame construction without touching
+    event extraction (the validation-objective fast path)."""
+    preds = rng.random((4, 3, 31)).astype("float32")
+    names = [f"f{i}.wav" for i in range(4)]
+    full_raw, full_post, full_dfs = batched_decode_preds(
+        preds, names, ENC, thresholds=(0.3, 0.6), median_filter=[3, 3, 3]
+    )
+    raw, post, dfs = batched_decode_preds(
+        preds, names, ENC, thresholds=(0.3, 0.6), median_filter=[3, 3, 3],
+        want_raw=False, want_post=False,
+    )
+    assert raw == {} and post == {}
+    for th in (0.3, 0.6):
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(dfs[th], full_dfs[th])
+    # post-only (the maestro overlap-add path)
+    raw, post, dfs = batched_decode_preds(
+        preds, names, ENC, thresholds=(), median_filter=[3, 3, 3],
+        want_raw=False,
+    )
+    assert raw == {} and dfs == {}
+    assert set(post) == set(full_post)
+    for k in post:
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(post[k], full_post[k])
