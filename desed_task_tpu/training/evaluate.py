@@ -337,6 +337,7 @@ def run_test(
     _, post, dfs, _, _ = predict_dataset(
         predict_fn, params, stats, test_set, encoder, batch_size,
         thresholds=thresholds, median_filter=median_filter, scaler=state.scaler,
+        want_raw=False,
     )
     ops = [dfs[th] for th in thresholds[:-1]]
     psds1, ev1 = compute_psds_from_operating_points(
