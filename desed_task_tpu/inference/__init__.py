@@ -1,4 +1,6 @@
 from .decode import (  # noqa: F401
+    ScoreCurve,
+    as_score_curve,
     batched_decode_preds,
     create_score_dataframe,
     validate_score_dataframe,

@@ -6,6 +6,11 @@ Re-implements the 2024 recipe's overlap-add evaluation helpers
 scores are overlap-added into the full-file timeline with summand-count
 averaging, and clip-level ground truths are shifted back to file time with
 per-class overlapping-event merging.
+
+Score inputs are either sed_scores_eval-style DataFrames or the numpy
+``(timestamps, values)`` tuples produced by decode's ``as_arrays=True`` —
+the segment pooling itself is vectorized (searchsorted + per-segment slice
+reduction) instead of the reference's per-segment pandas loop.
 """
 
 from __future__ import annotations
@@ -14,8 +19,9 @@ from collections import defaultdict
 from math import ceil
 
 import numpy as np
+import pandas as pd
 
-from .decode import create_score_dataframe, validate_score_dataframe
+from .decode import ScoreCurve, create_score_dataframe, validate_score_dataframe
 
 
 def merge_overlapping_events(ground_truth_events: dict) -> dict:
@@ -54,27 +60,31 @@ def merge_maestro_ground_truth(clip_ground_truth: dict) -> dict:
     return merge_overlapping_events(dict(ground_truth))
 
 
+def _segment_pool_mean(
+    timestamps: np.ndarray,  # [T+1]
+    values: np.ndarray,  # [T, C]
+    clip_length: float,
+    segment_length: float,
+) -> np.ndarray:
+    """Duration-weighted mean of piecewise-constant scores per segment.
+
+    Vectorized as one pooling-matrix GEMM: W[s, r] = overlap of segment s
+    with frame row r, normalized per segment."""
+    seg_onsets = np.arange(0.0, clip_length, segment_length)
+    seg_offsets = seg_onsets + segment_length
+    lo = np.maximum(timestamps[None, :-1], seg_onsets[:, None])
+    hi = np.minimum(timestamps[None, 1:], seg_offsets[:, None])
+    w = np.maximum(0.0, hi - lo)  # [n_seg, T]
+    return (w @ values) / w.sum(1, keepdims=True)
+
+
 def get_segment_scores(scores_df, clip_length: float, segment_length: float = 1.0):
     """Duration-weighted mean of piecewise-constant frame scores per segment."""
     frame_timestamps, event_classes = validate_score_dataframe(scores_df)
     scores_arr = scores_df[event_classes].to_numpy()
-    seg_scores = []
-    seg_times = []
-    on_idx = 0
-    off_idx = 0
-    for seg_onset in np.arange(0.0, clip_length, segment_length):
-        seg_offset = seg_onset + segment_length
-        while frame_timestamps[on_idx + 1] <= seg_onset:
-            on_idx += 1
-        while off_idx < len(scores_arr) and frame_timestamps[off_idx] < seg_offset:
-            off_idx += 1
-        w = np.minimum(frame_timestamps[on_idx + 1 : off_idx + 1], seg_offset) - np.maximum(
-            frame_timestamps[on_idx:off_idx], seg_onset
-        )
-        seg_scores.append((w[:, None] * scores_arr[on_idx:off_idx]).sum(0) / w.sum())
-        seg_times.append(seg_onset)
-    seg_times.append(clip_length)
-    return create_score_dataframe(np.array(seg_scores), np.array(seg_times), event_classes)
+    seg = _segment_pool_mean(frame_timestamps, scores_arr, clip_length, segment_length)
+    seg_times = np.r_[np.arange(0.0, clip_length, segment_length), clip_length]
+    return create_score_dataframe(seg, seg_times, event_classes)
 
 
 def get_segment_scores_and_overlap_add(
@@ -82,17 +92,20 @@ def get_segment_scores_and_overlap_add(
     audio_durations: dict,
     event_classes: list[str],
     segment_length: float = 1.0,
+    as_arrays: bool = False,
 ) -> dict:
     """Overlap-add windowed clip scores into file-level segment scores.
 
-    frame_scores: {f"{file_id}-{onset_cs}-{offset_cs}": score DataFrame}
-    Returns {file_id: segment score DataFrame covering [0, duration]}.
+    frame_scores: {f"{file_id}-{onset_cs}-{offset_cs}": score DataFrame or
+    (timestamps, values) tuple}. Returns {file_id: segment score DataFrame
+    covering [0, duration]} — or (timestamps, values) tuples when
+    ``as_arrays=True``.
     """
     segment_scores_file: dict[str, np.ndarray] = {}
     summand_count: dict[str, np.ndarray] = {}
     skipped: set[str] = set()
-    keys = ["onset", "offset"] + list(event_classes)
-    for clip_id in frame_scores:
+    pool_cache: dict = {}
+    for clip_id, curve in frame_scores.items():
         file_id, clip_onset, clip_offset = clip_id.rsplit("-", maxsplit=2)
         if file_id not in audio_durations:
             # callers derive durations from ground truth; windows of files
@@ -107,9 +120,22 @@ def get_segment_scores_and_overlap_add(
             n_seg = ceil(audio_durations[file_id] / segment_length)
             segment_scores_file[file_id] = np.zeros((n_seg, len(event_classes)))
             summand_count[file_id] = np.zeros((n_seg, len(event_classes)))
-        seg_clip = get_segment_scores(
-            frame_scores[clip_id][keys], clip_length=t1 - t0, segment_length=segment_length
-        )[event_classes].to_numpy()
+        if isinstance(curve, pd.DataFrame):
+            ts, _ = validate_score_dataframe(curve)
+            vals = curve[list(event_classes)].to_numpy()
+        else:
+            ts, vals = curve.timestamps, curve.select(event_classes)
+        # the weight matrix depends only on (grid, clip length): cache it
+        key = (ts.shape[0], float(ts[-1]), t1 - t0)
+        W = pool_cache.get(key)
+        if W is None:
+            seg_onsets = np.arange(0.0, t1 - t0, segment_length)
+            lo = np.maximum(ts[None, :-1], seg_onsets[:, None])
+            hi = np.minimum(ts[None, 1:], (seg_onsets + segment_length)[:, None])
+            W = np.maximum(0.0, hi - lo)
+            W = W / W.sum(1, keepdims=True)
+            pool_cache[key] = W
+        seg_clip = W @ vals
         i0 = int(t0 // segment_length)
         need = i0 + len(seg_clip)
         if need > len(segment_scores_file[file_id]):
@@ -134,14 +160,16 @@ def get_segment_scores_and_overlap_add(
     out = {}
     for file_id in segment_scores_file:
         n_seg = ceil(audio_durations[file_id] / segment_length)
-        out[file_id] = create_score_dataframe(
-            (segment_scores_file[file_id] / np.maximum(summand_count[file_id], 1))[
-                :n_seg
-            ],
-            np.minimum(
-                np.arange(0.0, audio_durations[file_id] + segment_length, segment_length),
-                audio_durations[file_id],
-            )[: n_seg + 1],
-            event_classes,
+        vals = (
+            segment_scores_file[file_id] / np.maximum(summand_count[file_id], 1)
+        )[:n_seg]
+        ts = np.minimum(
+            np.arange(0.0, audio_durations[file_id] + segment_length, segment_length),
+            audio_durations[file_id],
+        )[: n_seg + 1]
+        out[file_id] = (
+            ScoreCurve(ts, vals, tuple(event_classes))
+            if as_arrays
+            else create_score_dataframe(vals, ts, event_classes)
         )
     return out

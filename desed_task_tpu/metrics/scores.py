@@ -31,15 +31,18 @@ from .psds import PSDSEval, compute_per_intersection_macro_f1, psds_from_points
 def scores_to_event_df(
     scores: dict, threshold: float, event_classes: list[str] | None = None
 ) -> pd.DataFrame:
-    """Threshold piecewise-constant score curves into event lists."""
+    """Threshold piecewise-constant score curves into event lists.
+
+    Scores may be DataFrames or decode.ScoreCurve tuples."""
+    from ..inference.decode import as_score_curve
+
     rows = []
     for clip_id, df in scores.items():
-        classes = event_classes or [
-            c for c in df.columns if c not in ("onset", "offset")
-        ]
-        onset = df["onset"].to_numpy()
-        offset = df["offset"].to_numpy()
-        vals = df[classes].to_numpy()
+        curve = as_score_curve(df)
+        classes = list(event_classes or curve.classes)
+        onset = curve.timestamps[:-1]
+        offset = curve.timestamps[1:]
+        vals = curve.select(classes)
         act = vals > threshold
         for ci, c in enumerate(classes):
             for a, b in find_contiguous_regions(act[:, ci]):
@@ -195,18 +198,19 @@ def compute_psds_from_scores(
         gtc_threshold=gtc_threshold,
         cttc_threshold=cttc_threshold,
     )
+    from ..inference.decode import as_score_curve
+
+    curves = {k: as_score_curve(v) for k, v in scores.items()}
     C = len(ev.class_names)
     points = []
     for c, cname in enumerate(ev.class_names):
         per_clip = []
-        for clip_id, df in scores.items():
-            if cname not in df.columns:
+        for clip_id, curve in curves.items():
+            if cname not in curve.classes:
                 continue
             fname = f"{clip_id}.wav"
-            t = np.concatenate(
-                [df["onset"].to_numpy(), [float(df["offset"].iloc[-1])]]
-            )
-            s = df[cname].to_numpy(float)
+            t = curve.timestamps
+            s = curve.values[:, curve.classes.index(cname)].astype(float)
             gt_c = ev._gt.get((fname, cname))
             others = [
                 (ev._cindex[lab], ev._gt[(fname, lab)])

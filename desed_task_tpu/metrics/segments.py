@@ -33,36 +33,63 @@ def segment_scores_and_labels(
     segment_length: float = 1.0,
     event_classes: list[str] | None = None,
 ):
-    """Flatten all clips into per-class (scores, labels) over fixed segments."""
+    """Flatten all clips into per-class (scores, labels) over fixed segments.
+
+    Scores may be DataFrames or decode's ``(timestamps, values)`` tuples.
+    Per segment the class score is max over the overlapping score rows
+    (searchsorted range, vectorized over classes); a segment is positive
+    when a gt event of that class strictly overlaps it."""
     if event_classes is None:
         first = next(iter(scores.values()))
-        event_classes = [c for c in first.columns if c not in ("onset", "offset")]
-    seg_scores = {c: [] for c in event_classes}
-    seg_labels = {c: [] for c in event_classes}
-    for clip_id, df in scores.items():
+        if isinstance(first, pd.DataFrame):
+            event_classes = [c for c in first.columns if c not in ("onset", "offset")]
+        else:
+            raise ValueError("event_classes is required with array score inputs")
+    C = len(event_classes)
+    cindex = {c: i for i, c in enumerate(event_classes)}
+    score_chunks, label_chunks = [], []
+    for clip_id, curve in scores.items():
         dur = durations[clip_id]
         n_seg = max(1, int(math.ceil(dur / segment_length)))
-        onset = df["onset"].to_numpy()
-        offset = df["offset"].to_numpy()
-        vals = df[event_classes].to_numpy()  # [n_rows, C]
-        gts = ground_truth.get(clip_id, [])
-        gt_by_class = defaultdict(list)
-        for on, off, lab in gts:
-            gt_by_class[lab].append((on, off))
+        if isinstance(curve, pd.DataFrame):
+            onset = curve["onset"].to_numpy()
+            offset = curve["offset"].to_numpy()
+            vals = curve[event_classes].to_numpy()  # [n_rows, C]
+        else:  # decode.ScoreCurve
+            vals = curve.select(event_classes)
+            onset, offset = curve.timestamps[:-1], curve.timestamps[1:]
+        seg_on = np.arange(n_seg) * segment_length
+        seg_off = seg_on + segment_length
+        # rows overlapping segment s: offset > seg_on[s] and onset < seg_off[s]
+        first_row = np.searchsorted(offset, seg_on, side="right")
+        last_row = np.searchsorted(onset, seg_off, side="left")
+        seg_vals = np.zeros((n_seg, C))
         for s in range(n_seg):
-            a, b = s * segment_length, (s + 1) * segment_length
-            rows = (offset > a) & (onset < b)
-            if rows.any():
-                seg_val = vals[rows].max(0)
-            else:
-                seg_val = np.zeros(len(event_classes))
-            for ci, c in enumerate(event_classes):
-                seg_scores[c].append(seg_val[ci])
-                active = any(off > a and on < b for on, off in gt_by_class.get(c, ()))
-                seg_labels[c].append(active)
+            if last_row[s] > first_row[s]:
+                seg_vals[s] = vals[first_row[s]:last_row[s]].max(0)
+        seg_lab = np.zeros((n_seg, C), bool)
+        for on, off, lab in ground_truth.get(clip_id, ()):
+            ci = cindex.get(lab)
+            if ci is None:
+                continue
+            if off > on:
+                s0 = int(math.floor(on / segment_length))
+                s1 = int(math.ceil(off / segment_length))
+            else:  # zero-length event: active iff it falls inside a segment
+                s0 = int(math.floor(on / segment_length))
+                s1 = s0 + 1 if on / segment_length != s0 else s0
+            seg_lab[max(s0, 0):min(s1, n_seg), ci] = True
+        score_chunks.append(seg_vals)
+        label_chunks.append(seg_lab)
+    all_scores = (
+        np.concatenate(score_chunks) if score_chunks else np.zeros((0, C))
+    )
+    all_labels = (
+        np.concatenate(label_chunks) if label_chunks else np.zeros((0, C), bool)
+    )
     return (
-        {c: np.asarray(v) for c, v in seg_scores.items()},
-        {c: np.asarray(v, bool) for c, v in seg_labels.items()},
+        {c: all_scores[:, i] for i, c in enumerate(event_classes)},
+        {c: all_labels[:, i] for i, c in enumerate(event_classes)},
         event_classes,
     )
 
@@ -112,9 +139,13 @@ def auroc(
     max_fpr: float | None = None,
     event_classes: list[str] | None = None,
     mcclish_correction: bool = True,
+    precomputed=None,
 ) -> tuple[dict, dict]:
-    """Segment-based (partial) AUROC; returns ({class: auc, "mean": m}, aux)."""
-    seg_scores, seg_labels, classes = segment_scores_and_labels(
+    """Segment-based (partial) AUROC; returns ({class: auc, "mean": m}, aux).
+
+    ``precomputed`` takes the output of segment_scores_and_labels so callers
+    evaluating several metrics on one score set flatten the segments once."""
+    seg_scores, seg_labels, classes = precomputed or segment_scores_and_labels(
         scores, ground_truth, durations, segment_length, event_classes
     )
     out = {}
@@ -132,10 +163,11 @@ def best_fscore(
     segment_length: float = 1.0,
     event_classes: list[str] | None = None,
     beta: float = 1.0,
+    precomputed=None,
 ) -> tuple[dict, dict]:
     """Per-class best-threshold segment F-score; macro = mean of per-class
     optima (the 'fmo' objective of the 2024 recipe)."""
-    seg_scores, seg_labels, classes = segment_scores_and_labels(
+    seg_scores, seg_labels, classes = precomputed or segment_scores_and_labels(
         scores, ground_truth, durations, segment_length, event_classes
     )
     f_out = {}
@@ -157,6 +189,36 @@ def best_fscore(
         thresholds[c] = float(ss[distinct[best]]) if len(f) else 0.5
     f_out["macro_average"] = float(np.mean([f_out[c] for c in classes])) if classes else 0.0
     return f_out, {"thresholds": thresholds}
+
+
+def fscore(
+    scores: dict,
+    ground_truth: dict,
+    durations: dict,
+    threshold: float = 0.5,
+    segment_length: float = 1.0,
+    event_classes: list[str] | None = None,
+    beta: float = 1.0,
+    precomputed=None,
+) -> tuple[dict, dict]:
+    """Fixed-threshold segment F-score (sed_scores_eval.segment_based.fscore
+    analog; the best_fscore sibling optimizes the threshold per class)."""
+    seg_scores, seg_labels, classes = precomputed or segment_scores_and_labels(
+        scores, ground_truth, durations, segment_length, event_classes
+    )
+    out = {}
+    for c in classes:
+        pred = seg_scores[c] > threshold
+        y = seg_labels[c]
+        tp = float((pred & y).sum())
+        fp = float((pred & ~y).sum())
+        fn = float((~pred & y).sum())
+        denom = (1 + beta**2) * tp + beta**2 * fn + fp
+        out[c] = (1 + beta**2) * tp / denom if denom > 0 else 0.0
+    out["macro_average"] = (
+        float(np.mean([out[c] for c in classes])) if classes else 0.0
+    )
+    return out, {"threshold": threshold}
 
 
 def scores_to_dataframe(

@@ -252,12 +252,18 @@ class BEATsTransformer(nn.Module):
 
 
 class BEATsEncoder(nn.Module):
-    """fbank [B, T_frames, 128] -> token features [B, T_tokens, 768]."""
+    """fbank [B, T_frames, 128] -> token features [B, T_tokens, 768].
+
+    ``mask_indices`` ([B, T_tokens] bool) replaces the embeddings of masked
+    tokens with a learned mask token before the transformer — the BERT-style
+    seam used by training/beats_pretrain.py for in-environment
+    self-supervised pretraining (the released checkpoint has no mask_token;
+    the param is only created when masking is used)."""
 
     cfg: BEATsConfig = BEATsConfig()
 
     @nn.compact
-    def __call__(self, fbank, padding_mask=None):
+    def __call__(self, fbank, padding_mask=None, mask_indices=None):
         cfg = self.cfg
         p = cfg.input_patch_size
         # patch embedding: Conv2d(1, 512, k=16, s=16) over [B, T, F]
@@ -277,6 +283,13 @@ class BEATsEncoder(nn.Module):
         x = nn.LayerNorm(name="layer_norm")(x)
         if cfg.embed_dim != cfg.encoder_embed_dim:
             x = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj")(x)
+        if mask_indices is not None:
+            mask_token = self.param(
+                "mask_token",
+                nn.initializers.normal(0.02),
+                (cfg.encoder_embed_dim,),
+            )
+            x = jnp.where(mask_indices[..., None], mask_token, x)
         return BEATsTransformer(cfg, name="encoder")(x, padding_mask)
 
 

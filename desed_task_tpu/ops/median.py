@@ -60,6 +60,38 @@ def classwise_median_filter(
     return jnp.moveaxis(out, (-2, -1), (ca, ta))
 
 
+def classwise_median_filter_np(
+    scores: np.ndarray, filter_lengths, class_axis: int = -2, time_axis: int = -1
+) -> np.ndarray:
+    """Pure-numpy twin of classwise_median_filter for host-side decode.
+
+    The decode path already holds host arrays; round-tripping them through
+    the (tunneled) device for a 7-tap median cost ~46 ms/batch — this is the
+    same scipy-'reflect' semantics in numpy (<1 ms/batch)."""
+    filter_lengths = tuple(int(f) for f in filter_lengths)
+    x = np.asarray(scores)
+    ca = class_axis % x.ndim
+    ta = time_axis % x.ndim
+    x = np.moveaxis(x, (ca, ta), (-2, -1))
+    C = x.shape[-2]
+    assert len(filter_lengths) == C, (len(filter_lengths), C)
+    out = x.copy()
+    for k in sorted(set(filter_lengths)):
+        if k <= 1:
+            continue
+        sel = np.asarray([f == k for f in filter_lengths])
+        left = k // 2
+        right = k - left - 1
+        xp = np.pad(
+            x[..., sel, :],
+            [(0, 0)] * (x.ndim - 1) + [(left, right)],
+            mode="symmetric",
+        )
+        win = np.lib.stride_tricks.sliding_window_view(xp, k, axis=-1)
+        out[..., sel, :] = np.median(win, axis=-1)
+    return np.moveaxis(out, (-2, -1), (ca, ta))
+
+
 class ClassWiseMedianFilter:
     """Callable matching the reference API (postprocess.py): operates on
     [T, C] numpy arrays, per-class window lengths."""

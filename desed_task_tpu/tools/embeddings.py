@@ -28,6 +28,18 @@ def build_embedder(name: str, checkpoint: str | None = None):
 
         cfg_kwargs = {}
         params = None
+        if checkpoint and str(checkpoint).endswith(".msgpack"):
+            # JAX-native encoder params from training/beats_pretrain.py
+            import flax.serialization
+
+            model = BEATsModel(BEATsConfig())
+            tpl = model.init(
+                jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
+            )["params"]
+            enc = flax.serialization.from_bytes(
+                tpl["encoder"], Path(checkpoint).read_bytes()
+            )
+            return model, {"params": {"encoder": enc}}
         if checkpoint:
             from ..models.torch_convert import load_beats_checkpoint
 

@@ -35,7 +35,7 @@ from ..metrics.psds import (
     compute_per_intersection_macro_f1,
     compute_psds_from_operating_points,
 )
-from ..metrics.segments import auroc, best_fscore
+from ..metrics.segments import auroc, best_fscore, segment_scores_and_labels
 
 
 def multilabel_f1_macro(
@@ -50,6 +50,85 @@ def multilabel_f1_macro(
     denom = 2 * tp + fp + fn
     f1 = np.where(denom > 0, 2 * tp / np.maximum(denom, 1), 0.0)
     return float(f1.mean())
+
+
+def _predict_cache_all(
+    predict_fn, params, stats, cache, scaler, median_filter, want_raw: bool
+):
+    """ONE-dispatch forward of a whole DeviceEvalCache.
+
+    lax.scan over the resident batches inside a single jitted program, with
+    the per-class median filter applied on device; the host then fetches the
+    stacked scores once. Replaces per-batch dispatch+fetch round trips —
+    the dominant validation cost on a tunneled TPU (~100 round trips per
+    validation in the 300-epoch rehearsal).
+
+    Returns (strong_np | None, post_np | None, weak_np), truncated to
+    len(cache). post_np is None when the filter cannot run on device
+    (callable median filters stay host-side)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.device_cache import AUDIO_SCALE
+    from ..ops.median import classwise_median_filter
+
+    on_device_median = isinstance(median_filter, (list, tuple, np.ndarray))
+    med_key = (
+        tuple(int(f) for f in median_filter) if on_device_median else None
+    )
+    fetch_raw = want_raw or not on_device_median
+    # compiled-scan cache lives on the DeviceEvalCache; predict_fn is alive
+    # for the whole run, so id() is a stable key here
+    scans = getattr(cache, "_predict_scans", None)
+    if scans is None:
+        scans = cache._predict_scans = {}
+    key = (id(predict_fn), med_key, fetch_raw)
+    run = scans.get(key)
+    if run is None:
+        bs = cache.batch_size
+        has_emb = cache.stores["embeddings"] is not None
+        starts = np.arange(0, cache.n_pad, bs, dtype=np.int32)
+
+        @jax.jit
+        def run(params, stats, scaler, audio_store, emb_store):
+            def body(carry, start):
+                audio = (
+                    jax.lax.dynamic_slice_in_dim(audio_store, start, bs, 0)
+                    .astype(jnp.float32)
+                    / AUDIO_SCALE
+                )
+                kw = {}
+                if has_emb:
+                    kw["embeddings"] = jax.lax.dynamic_slice_in_dim(
+                        emb_store, start, bs, 0
+                    )
+                strong, weak = predict_fn(
+                    params, stats, audio, scaler=scaler, **kw
+                )
+                outs = (weak,)
+                if med_key is not None:
+                    outs = (
+                        classwise_median_filter(strong, med_key, class_axis=-2),
+                    ) + outs
+                if fetch_raw:
+                    outs = (strong,) + outs
+                return carry, outs
+
+            _, outs = jax.lax.scan(body, None, jnp.asarray(starts))
+            return outs
+
+        scans[key] = run
+
+    outs = run(
+        params, stats, scaler, cache.stores["audio"], cache.stores["embeddings"]
+    )
+    outs = [
+        np.asarray(o).reshape(-1, *o.shape[2:])[: cache.n] for o in outs
+    ]
+    weak_np = outs[-1]
+    strong_np = outs[0] if fetch_raw else None
+    post_np = outs[-2] if med_key is not None else None
+    return strong_np, post_np, weak_np
 
 
 def iterate_batches(dataset, batch_size: int):
@@ -76,6 +155,7 @@ def predict_dataset(
     want_raw: bool = True,
     want_post: bool = True,
     want_events: bool = True,
+    as_arrays: bool = False,
 ):
     """Forward a dataset, decode. Returns (scores_raw, scores_post,
     pred_dfs {th: DataFrame}, weak_probs [N, C], weak_targets [N, C]).
@@ -85,34 +165,36 @@ def predict_dataset(
     callers that only need weak probs (or only event lists) skip it. Gated
     outputs come back empty.
 
-    `dataset` may be a data.device_cache.DeviceEvalCache — batches then come
-    as device-resident slices (no audio transfer per validation pass)."""
+    `dataset` may be a data.device_cache.DeviceEvalCache — the whole pass
+    then runs as ONE device dispatch (lax.scan over resident batches, median
+    filter on device) and a single score fetch, instead of a host round trip
+    per batch (the tunnel-latency killer of the 300-epoch rehearsal)."""
     from ..data.device_cache import DeviceEvalCache
 
     scores_raw_all, scores_post_all = {}, {}
     dfs_all = {th: [] for th in thresholds}
     weak_probs, weak_targets = [], []
     if isinstance(dataset, DeviceEvalCache):
-        for audio, emb, n_real, filenames, labels in dataset.batches():
-            kwargs = {"embeddings": emb} if emb is not None else {}
-            strong, weak = predict_fn(
-                params, stats, audio, scaler=scaler, **kwargs
+        strong_np, post_np, weak_np = _predict_cache_all(
+            predict_fn, params, stats, dataset, scaler, median_filter,
+            want_raw=want_raw,
+        )
+        if want_raw or want_post or want_events:
+            raw, post, dfs = batched_decode_preds(
+                post_np if strong_np is None else strong_np,
+                dataset.filenames, encoder,
+                thresholds=thresholds if want_events else (),
+                median_filter=None if post_np is not None else median_filter,
+                want_raw=want_raw, want_post=want_post,
+                as_arrays=as_arrays,
+                post_preds=post_np,
             )
-            strong = np.asarray(strong)[:n_real]
-            weak = np.asarray(weak)[:n_real]
-            if want_raw or want_post or want_events:
-                raw, post, dfs = batched_decode_preds(
-                    strong, filenames, encoder,
-                    thresholds=thresholds if want_events else (),
-                    median_filter=median_filter,
-                    want_raw=want_raw, want_post=want_post,
-                )
-                scores_raw_all.update(raw)
-                scores_post_all.update(post)
-                for th in thresholds if want_events else ():
-                    dfs_all[th].append(dfs[th])
-            weak_probs.append(weak)
-            weak_targets.append((labels.sum(-1) > 0).astype(np.float32))
+            scores_raw_all.update(raw)
+            scores_post_all.update(post)
+            for th in thresholds if want_events else ():
+                dfs_all[th].append(dfs[th])
+        weak_probs.append(weak_np)
+        weak_targets.append((dataset.labels.sum(-1) > 0).astype(np.float32))
         return _assemble_predictions(
             scores_raw_all, scores_post_all, dfs_all, weak_probs,
             weak_targets, thresholds,
@@ -148,6 +230,7 @@ def predict_dataset(
                 thresholds=thresholds if want_events else (),
                 median_filter=median_filter,
                 want_raw=want_raw, want_post=want_post,
+                as_arrays=as_arrays,
             )
             scores_raw_all.update(raw)
             scores_post_all.update(post)
@@ -264,7 +347,7 @@ class SEDValidator:
             _, post, _, _, _ = predict_dataset(
                 self.predict_fn, params, stats, self.maestro_set, self.encoder,
                 self.batch_size, thresholds=(0.5,), scaler=state.scaler,
-                want_raw=False, want_events=False,
+                want_raw=False, want_events=False, as_arrays=True,
             )
             classes = self.maestro_classes or self.encoder.labels
             gt = merge_maestro_ground_truth(self.maestro_gt)
@@ -273,22 +356,33 @@ class SEDValidator:
                 for fid, evs in gt.items()
             }
             seg_scores = get_segment_scores_and_overlap_add(
-                {k: v for k, v in post.items()}, durations, classes
+                post, durations, classes, as_arrays=True
             )
             seg_scores = {k: v for k, v in seg_scores.items() if k in gt}
             gt_tuples = {
                 k: [(on, off, c) for on, off, c in gt[k]] for k in seg_scores
             }
+            # flatten segments once, share across the metric family
+            pre = segment_scores_and_labels(
+                seg_scores, gt_tuples, durations, 1.0, classes
+            )
             if self.obj_metric_maestro_type in ("fmo", "mpauc"):
-                res, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, classes)
+                res, _ = best_fscore(
+                    seg_scores, gt_tuples, durations, 1.0, classes,
+                    precomputed=pre,
+                )
                 scalars[f"val/maestro/{tag}/segment_f1_best"] = res["macro_average"]
                 maestro_metric = res["macro_average"]
                 res_p, _ = auroc(
-                    seg_scores, gt_tuples, durations, 1.0, 0.1, classes
+                    seg_scores, gt_tuples, durations, 1.0, 0.1, classes,
+                    precomputed=pre,
                 )
                 scalars[f"val/maestro/{tag}/segment_mpauc"] = res_p["mean"]
             elif self.obj_metric_maestro_type == "mauc":
-                res, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, classes)
+                res, _ = auroc(
+                    seg_scores, gt_tuples, durations, 1.0, None, classes,
+                    precomputed=pre,
+                )
                 maestro_metric = res["mean"]
                 scalars[f"val/maestro/{tag}/segment_mauc"] = maestro_metric
             else:
@@ -399,6 +493,7 @@ def run_test(
         _, m_post, _, _, _ = predict_dataset(
             predict_fn, params, stats, maestro_set, encoder, batch_size,
             thresholds=(0.5,), scaler=state.scaler,
+            want_raw=False, want_events=False, as_arrays=True,
         )
         m_classes = maestro_classes or encoder.labels
         gt = merge_maestro_ground_truth(maestro_gt)
@@ -406,12 +501,18 @@ def run_test(
             fid: max(off for _, off, _ in evs) if evs else 1.0
             for fid, evs in gt.items()
         }
-        seg_scores = get_segment_scores_and_overlap_add(m_post, durations, m_classes)
+        seg_scores = get_segment_scores_and_overlap_add(
+            m_post, durations, m_classes, as_arrays=True
+        )
         seg_scores = {k: v for k, v in seg_scores.items() if k in gt}
         gt_tuples = {k: [(a, b, c) for a, b, c in gt[k]] for k in seg_scores}
-        mauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, m_classes)
-        mpauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, 0.1, m_classes)
-        bf, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, m_classes)
+        pre = segment_scores_and_labels(seg_scores, gt_tuples, durations, 1.0, m_classes)
+        mauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, None, m_classes,
+                        precomputed=pre)
+        mpauc, _ = auroc(seg_scores, gt_tuples, durations, 1.0, 0.1, m_classes,
+                         precomputed=pre)
+        bf, _ = best_fscore(seg_scores, gt_tuples, durations, 1.0, m_classes,
+                            precomputed=pre)
         results["maestro_segment_mauc"] = mauc["mean"]
         results["maestro_segment_mpauc"] = mpauc["mean"]
         results["maestro_segment_f1_best"] = bf["macro_average"]

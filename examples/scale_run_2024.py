@@ -195,8 +195,30 @@ def phase_generate(root: Path, scale: float = 1.0):
     print("[generate] done", flush=True)
 
 
-def phase_extract(root: Path):
+def phase_pretrain(root: Path, steps: int = 3000):
+    """Self-supervised pretrain of the JAX BEATs on the generated corpus
+    (training/beats_pretrain.py) so phase_extract produces input-correlated
+    embeddings instead of random-init ones."""
+    from desed_task_tpu.training.beats_pretrain import (
+        BEATsPretrainConfig, pretrain_beats,
+    )
+
+    wavs = []
+    for split in ("synth", "strong", "weak", "unlab", "maestro_train"):
+        wavs.extend(sorted((root / "audio" / split).glob("*.wav")))
+    out = root / "embeddings" / "beats_ssl.msgpack"
+    cfg = BEATsPretrainConfig(steps=steps, compute_dtype="bfloat16")
+    pretrain_beats(wavs, str(out), cfg)
+    return out
+
+
+def phase_extract(root: Path, checkpoint: str | None = None):
     from desed_task_tpu.tools.embeddings import extract_splits
+
+    ssl = root / "embeddings" / "beats_ssl.msgpack"
+    if checkpoint is None and ssl.exists():
+        checkpoint = str(ssl)
+        print(f"[extract] using SSL-pretrained encoder {ssl}", flush=True)
 
     # split keys must match single_run's _emb_file lookups
     split_folders = {
@@ -210,8 +232,8 @@ def phase_extract(root: Path):
         "maestro_real_val": str(root / "audio" / "maestro_val"),
     }
     # float16 halves the dominant train-time IO (frame embeddings)
-    extract_splits("beats", None, split_folders, str(root / "embeddings"),
-                   batch_size=32, dtype="float16")
+    extract_splits("beats", checkpoint, split_folders,
+                   str(root / "embeddings"), batch_size=32, dtype="float16")
 
 
 def build_config(root: Path, epochs: int) -> dict:
@@ -294,9 +316,11 @@ def phase_train(root: Path, epochs: int, resume: bool = False,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", required=True)
-    p.add_argument("--phase", choices=["generate", "extract", "train", "all"],
+    p.add_argument("--phase",
+                   choices=["generate", "pretrain", "extract", "train", "all"],
                    default="all")
     p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--pretrain_steps", type=int, default=3000)
     p.add_argument("--scale", type=float, default=1.0,
                    help="corpus size multiplier")
     p.add_argument("--resume", action="store_true",
@@ -309,6 +333,8 @@ def main():
     root = Path(args.workdir)
     if args.phase in ("generate", "all"):
         phase_generate(root, args.scale)
+    if args.phase in ("pretrain", "all"):
+        phase_pretrain(root, args.pretrain_steps)
     if args.phase in ("extract", "all"):
         phase_extract(root)
     if args.phase in ("train", "all"):

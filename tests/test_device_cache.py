@@ -275,3 +275,67 @@ def test_cached_accumulate_matches_host(corpus):
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=0, atol=0,
                                    err_msg=k)
+
+
+def test_eval_cache_predict_median_and_events_match_host(corpus):
+    """The one-dispatch scan path (on-device median) must reproduce the
+    host path's postprocessed curves and event tables exactly."""
+    import jax
+
+    from desed_task_tpu.data.device_cache import DeviceEvalCache
+    from desed_task_tpu.models import CRNN
+    from desed_task_tpu.ops.frontend import (
+        MelConfig, amplitude_to_db, mel_spectrogram,
+    )
+    from desed_task_tpu.ops.scaler import ScalerConfig
+    from desed_task_tpu.training.evaluate import predict_dataset
+    from desed_task_tpu.training.mean_teacher import make_predict_step
+
+    root, synth_tsv, _ = corpus
+    enc = ManyHotEncoder(CLASSES, audio_len=2, frame_len=1024, frame_hop=256,
+                         net_pooling=4, fs=FS)
+    ds = StronglyAnnotatedSet(root / "synth", synth_tsv, enc, pad_to=2,
+                              fs=FS, test=True, return_filename=True)
+    model = CRNN(nclass=10, n_RNN_cell=16, nb_filters=[8, 8],
+                 kernel_size=[3, 3], padding=[1, 1], stride=[1, 1],
+                 pooling=[[2, 8], [2, 8]], attention=True)
+    mel = MelConfig(n_fft=1024, win_length=1024, hop_length=256, n_mels=64)
+    x0 = jnp.zeros((2, 2 * FS))
+    variables = model.init(jax.random.key(0),
+                           amplitude_to_db(mel_spectrogram(x0, mel), mel))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    predict_fn = jax.jit(make_predict_step(model, mel, ScalerConfig()))
+    med = [3, 5, 1, 3, 7, 3, 5, 1, 3, 3]
+
+    host = predict_dataset(
+        predict_fn, params, stats, ds, enc, batch_size=2,
+        thresholds=(0.4, 0.6), median_filter=med, want_raw=False,
+    )
+    cache = DeviceEvalCache(ds, batch_size=2)
+    cache.upload()
+    dev = predict_dataset(
+        predict_fn, params, stats, cache, enc, batch_size=2,
+        thresholds=(0.4, 0.6), median_filter=med, want_raw=False,
+    )
+    assert set(host[1]) == set(dev[1])
+    for k in host[1]:  # postprocessed curves
+        np.testing.assert_allclose(
+            host[1][k].to_numpy(), dev[1][k].to_numpy(), atol=1e-6
+        )
+    for th in (0.4, 0.6):  # event tables
+        h = host[2][th].sort_values(
+            ["filename", "event_label", "onset"]).reset_index(drop=True)
+        d = dev[2][th].sort_values(
+            ["filename", "event_label", "onset"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(h, d, check_dtype=False)
+    # as_arrays mode serves ScoreCurves from the same scan
+    dev_arr = predict_dataset(
+        predict_fn, params, stats, cache, enc, batch_size=2,
+        thresholds=(), median_filter=med, want_raw=False, as_arrays=True,
+    )
+    for k in host[1]:
+        np.testing.assert_allclose(
+            host[1][k][list(enc.labels)].to_numpy(),
+            dev_arr[1][k].values, atol=1e-6,
+        )

@@ -213,3 +213,142 @@ def test_batched_decode_output_gating(rng):
         import pandas as pd
 
         pd.testing.assert_frame_equal(post[k], full_post[k])
+
+
+def _events_brute_force(post, encoder, filenames, threshold):
+    """Per-clip/per-class reference extraction (the pre-vectorization loop)."""
+    from desed_task_tpu.labels.events import find_contiguous_regions
+
+    rows = []
+    for j in range(post.shape[0]):
+        for c in range(post.shape[1]):
+            for a, b in find_contiguous_regions(post[j, c] > threshold):
+                rows.append(
+                    (
+                        encoder.labels[c],
+                        float(encoder._frame_to_time(a)),
+                        float(encoder._frame_to_time(b)),
+                        filenames[j],
+                    )
+                )
+    return pd.DataFrame(
+        rows, columns=["event_label", "onset", "offset", "filename"]
+    )
+
+
+def test_vectorized_event_extraction_matches_brute_force(rng):
+    B, C, T = 7, 3, 64
+    preds = rng.random((B, C, T)).astype(np.float32)
+    names = [f"clip{i}.wav" for i in range(B)]
+    _, _, dfs = batched_decode_preds(
+        preds, names, ENC, thresholds=(0.3, 0.5, 0.9), median_filter=None
+    )
+    for th in (0.3, 0.5, 0.9):
+        ref = _events_brute_force(preds, ENC, names, th)
+        got = dfs[th]
+        assert len(got) == len(ref)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_numpy_median_filter_matches_jax(rng):
+    from desed_task_tpu.ops.median import classwise_median_filter_np
+
+    x = rng.random((4, 5, 50)).astype(np.float32)
+    lens = [1, 3, 7, 3, 9]
+    ours = classwise_median_filter_np(x, lens, class_axis=-2)
+    ref = np.asarray(classwise_median_filter(jnp.asarray(x), lens, class_axis=-2))
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_as_arrays_pipeline_matches_dataframe_pipeline(rng):
+    """decode(as_arrays) -> overlap-add -> segment metrics must reproduce the
+    DataFrame pipeline exactly, including class-subset selection."""
+    B, C, T = 6, 3, 156
+    preds = rng.random((B, C, T)).astype(np.float32)
+    names = [f"file{i % 2}-{(i // 2) * 500}-{(i // 2) * 500 + 1000}.wav"
+             for i in range(B)]
+    med = [3, 5, 1]
+    sub_classes = ["C", "A"]  # subset + reorder vs encoder order
+
+    _, post_df, _ = batched_decode_preds(
+        preds, names, ENC, thresholds=(), median_filter=med
+    )
+    _, post_arr, _ = batched_decode_preds(
+        preds, names, ENC, thresholds=(), median_filter=med, as_arrays=True
+    )
+    durations = {"file0": 20.0, "file1": 20.0}
+    seg_df = get_segment_scores_and_overlap_add(post_df, durations, sub_classes)
+    seg_arr = get_segment_scores_and_overlap_add(
+        post_arr, durations, sub_classes, as_arrays=True
+    )
+    assert set(seg_df) == set(seg_arr)
+    for k in seg_df:
+        np.testing.assert_allclose(
+            seg_df[k][sub_classes].to_numpy(), seg_arr[k].values, atol=1e-12
+        )
+    gts = {
+        "file0": [(1.0, 3.0, "A"), (2.0, 2.0, "C")],
+        "file1": [(0.0, 20.0, "C")],
+    }
+    from desed_task_tpu.metrics.segments import segment_scores_and_labels
+
+    res_df = best_fscore(seg_df, gts, durations, 1.0, sub_classes)
+    res_arr = best_fscore(seg_arr, gts, durations, 1.0, sub_classes)
+    assert res_df[0] == res_arr[0]
+    auc_df = auroc(seg_df, gts, durations, 1.0, 0.1, sub_classes)
+    auc_arr = auroc(seg_arr, gts, durations, 1.0, 0.1, sub_classes)
+    assert auc_df[0] == auc_arr[0]
+    # precomputed path gives identical results
+    pre = segment_scores_and_labels(seg_arr, gts, durations, 1.0, sub_classes)
+    assert best_fscore(seg_arr, gts, durations, 1.0, sub_classes,
+                       precomputed=pre)[0] == res_arr[0]
+
+
+def test_segment_labels_brute_force(rng):
+    """Vectorized segment labeling matches the per-segment overlap scan,
+    including zero-length events and boundary-aligned events."""
+    from desed_task_tpu.inference.decode import ScoreCurve
+    from desed_task_tpu.metrics.segments import segment_scores_and_labels
+
+    classes = ["A", "B"]
+    n_seg = 12
+    gt_cases = [
+        [(0.0, 1.0, "A")],
+        [(1.0, 1.0, "A")],          # zero-length on a boundary -> no segment
+        [(1.5, 1.5, "B")],          # zero-length inside segment 1
+        [(3.0, 4.0, "B"), (3.9, 7.2, "B")],
+        [(11.5, 13.0, "A")],        # runs past the clip
+    ]
+    for gt in gt_cases:
+        vals = rng.random((n_seg, 2))
+        ts = np.arange(n_seg + 1, dtype=float)
+        scores = {"c": ScoreCurve(ts, vals, ("A", "B"))}
+        _, labels, _ = segment_scores_and_labels(
+            scores, {"c": gt}, {"c": float(n_seg)}, 1.0, classes
+        )
+        for ci, c in enumerate(classes):
+            expected = []
+            for s in range(n_seg):
+                a, b = float(s), float(s + 1)
+                expected.append(
+                    any(off > a and on < b for on, off, lab in gt if lab == c)
+                )
+            np.testing.assert_array_equal(labels[c], expected, err_msg=f"{gt} {c}")
+
+
+def test_segment_fixed_threshold_fscore(rng):
+    from desed_task_tpu.metrics.segments import fscore
+
+    classes = ["A"]
+    s = np.r_[np.full(5, 0.9), np.full(5, 0.1)][:, None]
+    scores = {"c": create_score_dataframe(s, np.arange(11.0), classes)}
+    gts = {"c": [(0.0, 5.0, "A")]}
+    durs = {"c": 10.0}
+    res, aux = fscore(scores, gts, durs, threshold=0.5)
+    assert res["A"] == 1.0 and res["macro_average"] == 1.0
+    res_bad, _ = fscore(scores, gts, durs, threshold=0.05)  # all positive
+    # 10 predicted, 5 true -> P=0.5, R=1 -> F1=2/3
+    np.testing.assert_allclose(res_bad["A"], 2 / 3)
