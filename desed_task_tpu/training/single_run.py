@@ -582,6 +582,19 @@ def single_run(
                 maestro_gt=read_ground_truth_events(m_tsv),
                 maestro_classes=sorted(CLASSES_MAESTRO_REAL_EVAL),
             )
+        if cache is not None and t.get("device_cache_eval", True):
+            # the 50-threshold battery also serves from resident stores
+            # (one scan dispatch per model instead of per-batch round trips)
+            from ..data.device_cache import build_eval_caches
+
+            wrapped = build_eval_caches(
+                {"test": test_set,
+                 "maestro": maestro_test_kwargs.get("maestro_set")},
+                t.get("batch_size_val", 24), verbose=not fast_dev_run,
+            )
+            test_set = wrapped["test"]
+            if maestro_test_kwargs.get("maestro_set") is not None:
+                maestro_test_kwargs["maestro_set"] = wrapped["maestro"]
         test_results = run_test(
             predict_fn,
             state,
