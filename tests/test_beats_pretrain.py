@@ -112,3 +112,40 @@ def test_n_tokens_matches_encoder():
         {"params": model.init(jax.random.key(0), fb)["params"]}, fb
     )
     assert feats.shape[1] == n_tokens_for(TINY, 16000)
+
+
+@pytest.mark.slow
+def test_weak_finetune_separates_classes(wav_dir, tmp_path):
+    """Supervised weak finetune must make near-pure-tone classes linearly
+    separable in the global embedding (the SSL-only probe sits at chance)."""
+    import flax.serialization
+
+    from desed_task_tpu.training.beats_pretrain import finetune_beats_weak
+
+    files = sorted(wav_dir.glob("*.wav"))
+    # two classes by fundamental frequency (clips 0-2 low, 3-5 high)
+    labels = np.zeros((6, 2), np.float32)
+    labels[:3, 0] = 1.0
+    labels[3:, 1] = 1.0
+    out = tmp_path / "ft.msgpack"
+    cfg = BEATsPretrainConfig(
+        beats=TINY, steps=40, batch_size=4, lr=3e-3, warmup_steps=5,
+    )
+    finetune_beats_weak(files, labels, str(out), cfg=cfg, pad_to=16000,
+                        log_every=39)
+    model = BEATsModel(TINY)
+    tpl = model.init(jax.random.key(0), jnp.zeros((1, 16000)))["params"]
+    enc = flax.serialization.from_bytes(tpl["encoder"], out.read_bytes())
+    from desed_task_tpu.data.audio_io import read_audio
+
+    audio = np.stack([read_audio(str(f), pad_to=16000, test=True)[0]
+                      for f in files])
+    emb = np.asarray(model.apply(
+        {"params": {"encoder": enc}}, jnp.asarray(audio)
+    )["global"])
+    # class centroids farther apart than within-class scatter
+    c0, c1 = emb[:3].mean(0), emb[3:].mean(0)
+    between = np.linalg.norm(c0 - c1)
+    within = 0.5 * (np.linalg.norm(emb[:3] - c0, axis=1).mean()
+                    + np.linalg.norm(emb[3:] - c1, axis=1).mean())
+    assert between > within, (between, within)
