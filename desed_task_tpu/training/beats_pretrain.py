@@ -191,6 +191,11 @@ def pretrain_beats(
         donate_argnums=(0, 1, 2),
     )
 
+    from ..obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog()
+    wd.start()
+    wd.arm()
     n = len(wav_files)
     np_rng = np.random.default_rng(cfg.seed)
     t0 = time.monotonic()
@@ -200,11 +205,15 @@ def pretrain_beats(
         params, head, opt_state, loss = step(
             params, head, opt_state, store, jnp.asarray(idx), step_rng
         )
+        loss = float(loss)  # per-step sync: bounds runahead, feeds watchdog
+        wd.beat()
         if verbose and (i % log_every == 0 or i == cfg.steps - 1):
             print(f"[beats-pretrain] step {i}/{cfg.steps} "
-                  f"loss {float(loss):.4f} "
+                  f"loss {loss:.4f} "
                   f"({(time.monotonic() - t0) / (i + 1):.2f}s/step)",
                   flush=True)
+    wd.disarm()
+    wd.stop()
     # strip the pretrain-only mask token: extraction inits without it
     enc_params = {k: v for k, v in params.items() if k != "mask_token"}
     enc_params = jax.tree.map(
@@ -299,6 +308,11 @@ def finetune_beats_weak(
         params, head = optax.apply_updates((params, head), updates)
         return params, head, opt_state, loss
 
+    from ..obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog()
+    wd.start()
+    wd.arm()
     n = len(wav_files)
     np_rng = np.random.default_rng(cfg.seed)
     t0 = time.monotonic()
@@ -307,11 +321,15 @@ def finetune_beats_weak(
         params, head, opt_state, loss = step(
             params, head, opt_state, store, label_store, jnp.asarray(idx)
         )
+        loss = float(loss)  # per-step sync: bounds runahead, feeds watchdog
+        wd.beat()
         if verbose and (i % log_every == 0 or i == cfg.steps - 1):
             print(f"[beats-finetune] step {i}/{cfg.steps} "
-                  f"loss {float(loss):.4f} "
+                  f"loss {loss:.4f} "
                   f"({(time.monotonic() - t0) / (i + 1):.2f}s/step)",
                   flush=True)
+    wd.disarm()
+    wd.stop()
     enc_params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     out = Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)
