@@ -29,10 +29,20 @@ def build_embedder(name: str, checkpoint: str | None = None):
         cfg_kwargs = {}
         params = None
         if checkpoint and str(checkpoint).endswith(".msgpack"):
-            # JAX-native encoder params from training/beats_pretrain.py
+            # JAX-native encoder params from training/beats_pretrain.py;
+            # the sidecar json pins the architecture flags (deep_norm etc.
+            # change forward semantics without changing the param tree)
+            import json
+
             import flax.serialization
 
-            model = BEATsModel(BEATsConfig())
+            cfg = BEATsConfig()
+            sidecar = Path(checkpoint).with_suffix(".json")
+            if sidecar.exists():
+                raw = json.loads(sidecar.read_text())
+                keep = {f.name for f in BEATsConfig.__dataclass_fields__.values()}
+                cfg = BEATsConfig(**{k: v for k, v in raw.items() if k in keep})
+            model = BEATsModel(cfg)
             tpl = model.init(
                 jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
             )["params"]

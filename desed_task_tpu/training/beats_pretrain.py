@@ -216,15 +216,28 @@ def pretrain_beats(
     wd.stop()
     # strip the pretrain-only mask token: extraction inits without it
     enc_params = {k: v for k, v in params.items() if k != "mask_token"}
-    enc_params = jax.tree.map(
-        lambda a: np.asarray(a, np.float32), enc_params
-    )
+    _save_encoder(enc_params, out_path, cfg.beats, verbose, "beats-pretrain")
+    return str(out_path)
+
+
+def _save_encoder(enc_params, out_path, beats_cfg, verbose, tag):
+    """msgpack encoder params + a sidecar json with the BEATsConfig, so
+    tools/embeddings.build_embedder reconstructs the exact architecture
+    (deep_norm etc. change forward semantics, not the param tree)."""
+    import dataclasses
+    import json
+
+    import flax.serialization
+
+    enc_params = jax.tree.map(lambda a: np.asarray(a, np.float32), enc_params)
     out = Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_bytes(flax.serialization.to_bytes(enc_params))
+    out.with_suffix(".json").write_text(
+        json.dumps(dataclasses.asdict(beats_cfg), indent=2)
+    )
     if verbose:
-        print(f"[beats-pretrain] saved encoder -> {out}", flush=True)
-    return str(out)
+        print(f"[{tag}] saved encoder -> {out}", flush=True)
 
 
 def finetune_beats_weak(
@@ -330,10 +343,5 @@ def finetune_beats_weak(
                   flush=True)
     wd.disarm()
     wd.stop()
-    enc_params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
-    out = Path(out_path)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_bytes(flax.serialization.to_bytes(enc_params))
-    if verbose:
-        print(f"[beats-finetune] saved encoder -> {out}", flush=True)
-    return str(out)
+    _save_encoder(params, out_path, cfg.beats, verbose, "beats-finetune")
+    return str(out_path)

@@ -243,7 +243,7 @@ def phase_pretrain(root: Path, steps: int = 3000):
             files.append(path)
             labels.append(y)
     ft_cfg = BEATsPretrainConfig(
-        steps=max(steps // 2, 1), lr=2e-4, warmup_steps=100,
+        steps=steps, lr=8e-4, warmup_steps=200,
         compute_dtype="bfloat16",
     )
     finetune_beats_weak(

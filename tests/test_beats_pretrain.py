@@ -149,3 +149,24 @@ def test_weak_finetune_separates_classes(wav_dir, tmp_path):
     within = 0.5 * (np.linalg.norm(emb[:3] - c0, axis=1).mean()
                     + np.linalg.norm(emb[3:] - c1, axis=1).mean())
     assert between > within, (between, within)
+
+
+def test_msgpack_sidecar_pins_architecture(tmp_path):
+    """build_embedder must reconstruct the saved variant's architecture from
+    the sidecar json (deep_norm flags change semantics, not the tree)."""
+    import dataclasses
+
+    from desed_task_tpu.tools.embeddings import build_embedder
+    from desed_task_tpu.training.beats_pretrain import _save_encoder
+
+    cfg = dataclasses.replace(TINY, deep_norm=False)
+    model = BEATsEncoder(cfg)
+    fb = jnp.zeros((1, 35, 128))
+    params = model.init(jax.random.key(0), fb)["params"]
+    out = tmp_path / "enc.msgpack"
+    _save_encoder(params, out, cfg, False, "test")
+    assert out.with_suffix(".json").exists()
+    loaded_model, variables = build_embedder("beats", str(out))
+    assert loaded_model.cfg == cfg  # incl. deep_norm=False
+    emb = loaded_model.apply(variables, jnp.zeros((1, 16000), jnp.float32))
+    assert emb["global"].shape == (1, cfg.encoder_embed_dim)
