@@ -101,6 +101,8 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--deep_norm", default="false",
                    choices=["true", "false"])
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--init", default=None,
@@ -118,9 +120,12 @@ def main():
         files, labels, classes = weak_label_table(root)
         print(f"[exp] {len(files)} labeled clips, {len(classes)} classes")
         cfg = BEATsPretrainConfig(
-            beats=BEATsConfig(deep_norm=(args.deep_norm == "true")),
+            beats=BEATsConfig(
+                deep_norm=(args.deep_norm == "true"),
+                encoder_layers=args.layers,
+            ),
             steps=args.steps, lr=args.lr, warmup_steps=200,
-            compute_dtype="bfloat16",
+            compute_dtype=args.dtype,
         )
         finetune_beats_weak(files, labels, args.out,
                             init_params_path=args.init, cfg=cfg)
