@@ -26,7 +26,8 @@ FS = 16000
 DUR = 5.0  # shorter clips keep the 1-core torch mirror tractable
 
 
-def build_config(root: Path, epochs: int, seed: int) -> dict:
+def build_config(root: Path, epochs: int, seed: int,
+                 val_interval: int = 5) -> dict:
     return {
         "training": {
             "batch_size": [12, 12, 24],
@@ -39,7 +40,7 @@ def build_config(root: Path, epochs: int, seed: int) -> dict:
             "n_test_thresholds": 20,
             "ema_factor": 0.999,
             "self_sup_loss": "mse",
-            "validation_interval": 5,
+            "validation_interval": val_interval,
             "weak_split": 0.9,
             "seed": seed,
             "mixup": "soft",
@@ -135,6 +136,9 @@ def main():
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_train", type=int, default=300)
+    p.add_argument("--val_interval", type=int, default=5,
+                   help="epochs between validations (denser curves for "
+                        "short matched-budget A/Bs)")
     p.add_argument("--fast", action="store_true",
                    help="jax phase only: bf16 MXU + fused Pallas kernels "
                         "(the 17x path) — for the precision-convergence A/B")
@@ -145,7 +149,7 @@ def main():
         phase_generate(root, args.n_train)
         return
 
-    config = build_config(root, args.epochs, args.seed)
+    config = build_config(root, args.epochs, args.seed, args.val_interval)
     name = args.phase + ("fast" if args.fast else "")
     log_dir = root / "exp" / f"{name}_seed{args.seed}"
     if args.phase == "torch":
