@@ -509,6 +509,7 @@ def single_run(
         # auto-enabled on real accelerators: unwedges a stalled tunneled
         # device fetch by probing from a subprocess (obs/watchdog.py)
         watchdog=StallWatchdog(),
+        log_every=t.get("log_every", 50),
     )
 
     test_results = None

@@ -41,6 +41,9 @@ def build_config(root: Path, epochs: int, seed: int,
             "ema_factor": 0.999,
             "self_sup_loss": "mse",
             "validation_interval": val_interval,
+            # log losses at ~per-epoch cadence so the jax curves align with
+            # the torch mirror's per-epoch means in the parity plots
+            "log_every": 6,
             "weak_split": 0.9,
             "seed": seed,
             "mixup": "soft",
