@@ -290,6 +290,7 @@ class SEDValidator:
         desed_classes: Optional[list] = None,
         use_teacher: bool = False,
         log_teacher: bool = True,
+        trajectory_psds: int = 0,
     ):
         self.predict_fn = predict_fn
         self.encoder = encoder
@@ -307,6 +308,11 @@ class SEDValidator:
         self.desed_classes = desed_classes or encoder.labels
         self.use_teacher = use_teacher
         self.log_teacher = log_teacher
+        # when > 0: also log a PSDS1 (this many operating points) and a
+        # collar event-F1 trajectory on the synth val set at every
+        # validation — system-level A/B parity curves need all three
+        # metric families over time, not just the obj intersection-F1
+        self.trajectory_psds = trajectory_psds
 
     def _evaluate_one(self, state, params, stats, tag: str):
         """Full metric pass for one model (student or teacher)."""
@@ -324,9 +330,13 @@ class SEDValidator:
             obj += weak_f1
 
         if self.synth_set is not None and self.synth_gt is not None:
+            traj_ths = ()
+            if self.trajectory_psds and tag == "student":
+                n = self.trajectory_psds
+                traj_ths = tuple(np.arange(1 / (n * 2), 1, 1 / n))
             _, _, dfs, _, _ = predict_dataset(
                 self.predict_fn, params, stats, self.synth_set, self.encoder,
-                self.batch_size, thresholds=(0.5,),
+                self.batch_size, thresholds=traj_ths + (0.5,),
                 median_filter=self.median_filter, scaler=state.scaler,
                 want_raw=False, want_post=False,
             )
@@ -334,6 +344,19 @@ class SEDValidator:
                 dfs[0.5], self.synth_gt, self.synth_dur
             )
             scalars[f"val/synth/{tag}/intersection_f1_macro"] = inter_f1
+            if traj_ths:
+                psds1, _ = compute_psds_from_operating_points(
+                    [dfs[th] for th in traj_ths], self.synth_gt,
+                    self.synth_dur, dtc_threshold=0.7, gtc_threshold=0.7,
+                    alpha_ct=0, alpha_st=1,
+                )
+                collar = event_based_metrics(
+                    self.synth_gt, dfs[0.5], self.desed_classes
+                )
+                scalars[f"val/synth/{tag}/psds1"] = psds1
+                scalars[f"val/synth/{tag}/event_f1_macro"] = (
+                    collar["macro_f_measure"]
+                )
             if self.obj_metric_synth_type == "intersection":
                 obj += inter_f1
             elif self.obj_metric_synth_type == "collar":

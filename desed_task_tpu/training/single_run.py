@@ -485,6 +485,7 @@ def single_run(
         median_filter=median,
         obj_metric_synth_type=t.get("obj_metric_synth_type", "intersection"),
         desed_classes=list(CLASSES_DESED.keys()),
+        trajectory_psds=t.get("trajectory_psds", 0),
     )
 
     logger = MetricsLogger(log_dir)

@@ -196,8 +196,15 @@ def build_data(config: dict, seed: int):
     return encoder, batcher, weak_val, synth_val, test_set
 
 
-def train_torch(config: dict, log_dir: str, seed: int = 42):
-    """The reference training system, step for step, without Lightning."""
+def train_torch(config: dict, log_dir: str, seed: int = 42,
+                resume: bool = False):
+    """The reference training system, step for step, without Lightning.
+
+    resume=True continues an interrupted run from <log_dir>/last.pt with
+    bit-identical semantics: model/opt/scheduler state, all three RNG
+    streams, and the batcher's per-epoch shuffles (replayed index-only) are
+    restored, so a resumed run sees the same batch stream as an
+    uninterrupted one."""
     import random as pyrandom
 
     import torch
@@ -242,9 +249,33 @@ def train_torch(config: dict, log_dir: str, seed: int = 42):
     n_synth, n_weak, _ = t["batch_size"]
 
     logger = MetricsLogger(log_dir)
-    best_obj, best_state = -np.inf, None
+    best_obj, best_state, best_state_teacher = -np.inf, None, None
     global_step = 0
-    for epoch in range(t["n_epochs"]):
+    start_epoch = 0
+    last_path = Path(log_dir) / "last.pt"
+    if resume and last_path.exists():
+        ck = torch.load(last_path, weights_only=False)
+        student.load_state_dict(ck["student"])
+        teacher.load_state_dict(ck["teacher"])
+        opt.load_state_dict(ck["opt"])
+        sched.load_state_dict(ck["sched"])
+        global_step = ck["global_step"]
+        start_epoch = ck["epoch"] + 1
+        torch.set_rng_state(ck["torch_rng"])
+        np.random.set_state(ck["np_rng"])
+        pyrandom.setstate(ck["py_rng"])
+        best_obj = ck.get("best_obj", -np.inf)
+        for _ in range(start_epoch):  # replay epoch shuffles, index-only
+            for _ in batcher.epoch_indices():
+                pass
+        best_path = Path(log_dir) / "best.pt"
+        if best_path.exists():
+            bk = torch.load(best_path, weights_only=False)
+            best_state = bk["student"]
+            best_state_teacher = bk["teacher"]
+        print(f"[torch] resumed at epoch {start_epoch} "
+              f"(step {global_step}, best_obj {best_obj:.4f})", flush=True)
+    for epoch in range(start_epoch, t["n_epochs"]):
         student.train()
         teacher.train()
         t0 = time.monotonic()
@@ -310,6 +341,14 @@ def train_torch(config: dict, log_dir: str, seed: int = 42):
             "train/student/tot_self_loss": float(
                 ((strong_self + weak_self) * weight).detach()),
         })
+        torch.save({  # crash-safe resume point (see `resume`)
+            "student": student.state_dict(), "teacher": teacher.state_dict(),
+            "opt": opt.state_dict(), "sched": sched.state_dict(),
+            "global_step": global_step, "epoch": epoch,
+            "torch_rng": torch.get_rng_state(),
+            "np_rng": np.random.get_state(), "py_rng": pyrandom.getstate(),
+            "best_obj": best_obj,
+        }, last_path)
 
         if (epoch + 1) % t.get("validation_interval", 5) == 0:
             obj, scalars = validate_torch(
@@ -364,7 +403,11 @@ def validate_torch(student, teacher, mel, scaler, encoder, weak_val,
                    synth_val, config):
     import pandas as pd
 
-    from desed_task_tpu.metrics.psds import compute_per_intersection_macro_f1
+    from desed_task_tpu.metrics.event_based import event_based_metrics
+    from desed_task_tpu.metrics.psds import (
+        compute_per_intersection_macro_f1,
+        compute_psds_from_operating_points,
+    )
     from desed_task_tpu.training.evaluate import (
         multilabel_f1_macro, predict_dataset,
     )
@@ -375,6 +418,9 @@ def validate_torch(student, teacher, mel, scaler, encoder, weak_val,
     median = config["net"].get("median_filter", 7)
     if isinstance(median, int):
         median = [median] * len(encoder.labels)
+    synth_gt = pd.read_csv(config["data"]["synth_val_tsv"], sep="\t")
+    synth_dur = pd.read_csv(config["data"]["synth_val_dur"], sep="\t")
+    traj = t.get("trajectory_psds", 0)
     for tag, model in (("student", student), ("teacher", teacher)):
         model.eval()
         pfn = _torch_predict_fn(model, mel, scaler)
@@ -384,17 +430,33 @@ def validate_torch(student, teacher, mel, scaler, encoder, weak_val,
         )
         weak_f1 = multilabel_f1_macro(probs, targets)
         scalars[f"val/weak/{tag}/macro_F1"] = weak_f1
+        # same trajectory recipe as the jax SEDValidator (trajectory_psds):
+        # PSDS1 over `traj` operating points + collar event-F1, student only
+        traj_ths = (
+            tuple(np.arange(1 / (traj * 2), 1, 1 / traj))
+            if traj and tag == "student" else ()
+        )
         _, _, dfs, _, _ = predict_dataset(
             pfn, None, None, synth_val, encoder,
-            t.get("batch_size_val", 24), thresholds=(0.5,),
+            t.get("batch_size_val", 24), thresholds=traj_ths + (0.5,),
             median_filter=median,
         )
         inter = compute_per_intersection_macro_f1(
-            dfs[0.5],
-            pd.read_csv(config["data"]["synth_val_tsv"], sep="\t"),
-            pd.read_csv(config["data"]["synth_val_dur"], sep="\t"),
+            dfs[0.5], synth_gt, synth_dur,
         )
         scalars[f"val/synth/{tag}/intersection_f1_macro"] = inter
+        if traj_ths:
+            psds1, _ = compute_psds_from_operating_points(
+                [dfs[th] for th in traj_ths], synth_gt, synth_dur,
+                dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0, alpha_st=1,
+            )
+            collar = event_based_metrics(
+                synth_gt, dfs[0.5], list(encoder.labels)
+            )
+            scalars[f"val/synth/{tag}/psds1"] = psds1
+            scalars[f"val/synth/{tag}/event_f1_macro"] = (
+                collar["macro_f_measure"]
+            )
         if tag == "student":
             obj = weak_f1 + inter
         else:

@@ -45,6 +45,9 @@ def build_config(root: Path, epochs: int, seed: int,
             # the torch mirror's per-epoch means in the parity plots
             "log_every": 6,
             "weak_split": 0.9,
+            # PSDS1/event-F1 curves on synth_val at every validation, both
+            # arms — the trajectory-level parity evidence (VERDICT r3 #1)
+            "trajectory_psds": 8,
             "seed": seed,
             "mixup": "soft",
             "mixup_prob": 0.5,
@@ -145,6 +148,9 @@ def main():
     p.add_argument("--fast", action="store_true",
                    help="jax phase only: bf16 MXU + fused Pallas kernels "
                         "(the 17x path) — for the precision-convergence A/B")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from its last "
+                        "checkpoint (exact-stream resume on the torch side)")
     args = p.parse_args()
     root = Path(args.workdir)
 
@@ -158,11 +164,12 @@ def main():
     if args.phase == "torch":
         from examples.ab_reference_torch import train_torch
 
-        train_torch(config, str(log_dir), seed=args.seed)
+        train_torch(config, str(log_dir), seed=args.seed, resume=args.resume)
     else:
         from desed_task_tpu.training.single_run import single_run
 
-        _, results = single_run(config, str(log_dir), fast=args.fast)
+        _, results = single_run(config, str(log_dir), fast=args.fast,
+                                checkpoint_resume=args.resume)
         out = {k: v for k, v in (results or {}).items()
                if isinstance(v, float)}
         (log_dir / "test_results.json").write_text(json.dumps(out, indent=2))

@@ -82,6 +82,25 @@ def test_energy_tracker_duty_cycle(tmp_path):
     assert abs(t2.energy_kwh - 10.0) < 1e-6
 
 
+def test_energy_tracker_range(tmp_path):
+    """The bracketed power constants propagate into [lo, hi] kWh."""
+    import json
+
+    t = EnergyTracker("rg", out_dir=tmp_path)
+    t.start()
+    t._elapsed = 100.0
+    t._start = None
+    t.record_busy(60.0)
+    kwh = t.stop()
+    rep = json.loads((tmp_path / "energy_rg.json").read_text())
+    lo, hi = rep["estimated_kwh_range"]
+    assert lo < kwh < hi
+    # range endpoints follow the bracketed constants exactly
+    expect_lo = (150 * (60 + 0.05 * 40) + 50 * 100) / 3.6e6
+    expect_hi = (250 * (60 + 0.30 * 40) + 150 * 100) / 3.6e6
+    assert abs(lo - expect_lo) < 1e-9 and abs(hi - expect_hi) < 1e-9
+
+
 def test_compiled_flops_matmul():
     a = jnp.zeros((64, 128))
     b = jnp.zeros((128, 32))
