@@ -110,12 +110,38 @@ def main():
 
     clips_per_step = cfg.batch_size
     clips_per_sec_per_chip = clips_per_step * n_steps / dt / n_dev
+
+    # second measurement: the fp32 reference-parity path exactly as
+    # single_run(fast=False) builds it — fp32 conv/GRU/mel, XLA (no fused
+    # Pallas), threefry dropout keys. Documents the throughput of the
+    # golden-tested configuration next to the fast path (VERDICT r3 #3).
+    model32 = crnn_2024()
+    state32 = create_state(model32, cfg, tx, jax.random.key(0), batch)
+    step32 = jax.jit(
+        make_train_step(model32, cfg, tx, sched, mel_cfg=MelConfig()),
+        donate_argnums=0,
+    )
+    key32 = jax.random.key(2, impl="threefry2x32")
+    if n_dev > 1:
+        mesh = make_mesh({"data": n_dev})
+        state32 = jax.device_put(state32, replicate(mesh))
+    state32, metrics = step32(state32, batch, key32)
+    float(jax.device_get(metrics["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state32, metrics = step32(state32, batch, key32)
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    dt32 = time.perf_counter() - t0
+    fp32_cps = clips_per_step * n_steps / dt32 / n_dev
+
     result = {
         "metric": "train_clips_per_sec_per_chip",
         "value": round(clips_per_sec_per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / BASELINE_CLIPS_PER_SEC, 3),
         "fused": fused,
+        "fp32_value": round(fp32_cps, 2),
+        "fp32_vs_baseline": round(fp32_cps / BASELINE_CLIPS_PER_SEC, 3),
     }
     print(json.dumps(result))
 

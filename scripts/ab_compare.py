@@ -20,6 +20,11 @@ VAL_KEYS = [
     "val/obj_metric",
     "val/weak/student/macro_F1",
     "val/synth/student/intersection_f1_macro",
+    # trajectory metrics (logged when trajectory_psds > 0): the
+    # system-level parity evidence — PSDS1 over 8 operating points and
+    # collar event-F1 on synth_val at every validation, both arms
+    "val/synth/student/psds1",
+    "val/synth/student/event_f1_macro",
 ]
 TEST_KEYS = [
     "psds1", "psds2", "psds1_sed_scores_eval",
