@@ -267,6 +267,11 @@ class CNN(nn.Module):
     # perf path; fp32 stays on the golden XLA chain). True/False force;
     # "interpret" runs the kernels in interpreter mode (CPU tests).
     fused_blocks: Any = None
+    # run the F-pool inside kernel B as a lane-averaging matmul instead of
+    # the XLA reshape-mean after it. None = auto (on whenever the fused
+    # blocks are on: A/B-measured 29.1 -> 23.6 ms/step on the 2024 flagship
+    # train step, docs/performance.md round-4). True/False force.
+    fused_fpool: Any = None
 
     def _use_fused(self, i: int) -> bool:
         mode = self.fused_blocks
@@ -354,6 +359,9 @@ class CNN(nn.Module):
             eps=1e-3,
             momentum=0.01,  # torch momentum 0.99 (flax convention)
             interpret=self.fused_blocks == "interpret",
+            fpool_in_kernel=(
+                self.fused_fpool if self.fused_fpool is not None else True
+            ),
         )
         if train and not self.is_initializing():
             ra_m.value = new_m

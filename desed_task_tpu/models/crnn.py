@@ -91,6 +91,9 @@ class CRNN(nn.Module):
     packed_dropout: bool = True
     # fused Pallas conv-block kernels (ops/pallas_cnn.py); None = auto
     fused_blocks: Any = None
+    # in-kernel F-pool for the fused blocks (models/cnn.py fused_fpool);
+    # None = auto (on whenever the fused blocks run)
+    fused_fpool: Any = None
     # Pallas BiGRU recurrence kernel (ops/pallas_gru.py); None = auto (TPU)
     rnn_pallas: Any = None
 
@@ -145,6 +148,7 @@ class CRNN(nn.Module):
             fast_conv=self.fast_conv,
             packed_dropout=self.packed_dropout,
             fused_blocks=self.fused_blocks,
+            fused_fpool=self.fused_fpool,
             name="cnn",
         )(x, train=bn_train)
         x = x.astype(jnp.float32)

@@ -21,7 +21,12 @@ import numpy as np
 
 
 def _tree_to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # device_get starts async copies for every leaf before blocking, so the
+    # fetch pipelines across the device link (per-leaf np.asarray costs one
+    # round-trip each — seconds per save through the tunneled TPU)
+    return jax.tree_util.tree_map(
+        np.asarray, jax.device_get(tree)
+    )
 
 
 class CheckpointManager:

@@ -267,8 +267,8 @@ def _glu_lin(ybn, wgg_ref, bg, Lout):
 
 
 def _epilogue_kernel(y_ref, sc_ref, bi_ref, wgg_ref, bg_ref, bits_ref,
-                     p_ref, o_ref, *, dims: BlockDims, keep_thresh: int,
-                     inv_keep: float):
+                     p_ref, q_ref, o_ref, *, dims: BlockDims,
+                     keep_thresh: int, inv_keep: float):
     Tp, T, pt, Lout = dims.Tp, dims.T, dims.pt, dims.Lout
     y = y_ref[0].astype(jnp.float32)
     sc = sc_ref[0].astype(jnp.float32)
@@ -287,12 +287,14 @@ def _epilogue_kernel(y_ref, sc_ref, bi_ref, wgg_ref, bg_ref, bits_ref,
         z = jnp.dot(p_ref[...], z, preferred_element_type=jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (dims.Tpout, 1), 0)
     z = jnp.where(rows < dims.Tout, z, 0.0)
+    if q_ref is not None:  # in-kernel F-pool: lane-averaging matmul z @ Q
+        z = jnp.dot(z, q_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = z.astype(o_ref.dtype)
 
 
 def _epilogue_bwd_kernel(y_ref, sc_ref, bi_ref, wgg_ref, bg_ref, bits_ref,
-                         p_ref, g_ref, dy_ref, dsc_ref, dbi_ref, dwgg_ref,
-                         dbg_ref, accs, accwg, *, dims: BlockDims,
+                         p_ref, q_ref, g_ref, dy_ref, dsc_ref, dbi_ref,
+                         dwgg_ref, dbg_ref, accs, accwg, *, dims: BlockDims,
                          keep_thresh: int, inv_keep: float):
     b = pl.program_id(0)
     Tp, T, pt, Lout = dims.Tp, dims.T, dims.pt, dims.Lout
@@ -311,10 +313,16 @@ def _epilogue_bwd_kernel(y_ref, sc_ref, bi_ref, wgg_ref, bg_ref, bits_ref,
     lin = _glu_lin(ybn_c, wgg_ref, bg_ref[0].astype(jnp.float32), Lout)
     s = jax.nn.sigmoid(ybn)
 
-    # incoming grad: mask invalid pooled rows, unpool over T
+    # incoming grad: mask invalid pooled rows, unpool over F then T
     g = g_ref[0].astype(jnp.float32)
     rows_o = jax.lax.broadcasted_iota(jnp.int32, (dims.Tpout, 1), 0)
     g = jnp.where(rows_o < dims.Tout, g, 0.0)
+    if q_ref is not None:  # F-unpool = g @ Q^T (Q already carries the 1/pf)
+        g = jax.lax.dot_general(
+            g, q_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if p_ref is not None:  # unpool = P^T @ g (P already carries the 1/pt)
         g = jax.lax.dot_general(
             p_ref[...], g,
@@ -470,17 +478,20 @@ def _conv_bn_stats_bwd(dims, interpret, res, cots):
 conv_bn_stats.defvjp(_conv_bn_stats_fwd, _conv_bn_stats_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def glu_drop_pool(y, scale_f, bias_f, wg, bg, bits,
-                  dims: BlockDims, keep_prob: float, interpret: bool = False):
-    """BN-apply + GLU + (optional) dropout + T-pool.
+                  dims: BlockDims, keep_prob: float, interpret: bool = False,
+                  fpool: bool = False):
+    """BN-apply + GLU + (optional) dropout + T-pool (+ optional F-pool).
 
     y: [B, Tp, F*Co]; scale_f/bias_f: [1, F*Co] fp32 (per-lane BN affine);
     wg/bg: GLU dense [Co, Co]/[Co]; bits: uint8 [B, Tp, F*Co] or None.
-    Returns z [B, Tp//pt, F*Co] with rows >= T//pt zeroed.
+    Returns z [B, Tp//pt, F*Co] with rows >= T//pt zeroed — or, with
+    fpool=True (requires pf > 1 and F % pf == 0), the F-pool runs in-kernel
+    as a lane matmul and z is [B, Tp//pt, (F//pf)*Co].
     """
     return _glu_drop_pool_impl(y, scale_f, bias_f, wg, bg, bits,
-                               dims, keep_prob, interpret)
+                               dims, keep_prob, interpret, fpool)
 
 
 def _pool_matrix(dims) -> jnp.ndarray | None:
@@ -496,7 +507,27 @@ def _pool_matrix(dims) -> jnp.ndarray | None:
     return jnp.asarray(P)
 
 
-def _epilogue_specs(dims, has_bits, has_pool, wgL):
+def _fpool_matrix(dims) -> jnp.ndarray | None:
+    """[Lout, (F//pf)*Co] fp32 lane-averaging matrix for an in-kernel F-pool.
+
+    Lanes are f-major (lane f*Co + c), so the F-pool is a structured linear
+    map on the lane axis: out[:, fo*Co + c] = mean_j z[:, (fo*pf + j)*Co + c]
+    — expressed as z @ Q on the MXU (the lanes of one output block are
+    non-contiguous in the input, so no slice-based form exists). None when
+    pf == 1 or F is not divisible by pf (the XLA reshape-mean handles those).
+    """
+    if dims.pf == 1 or dims.F % dims.pf:
+        return None
+    Fo, Co, pf = dims.F // dims.pf, dims.Co, dims.pf
+    Q = np.zeros((dims.Lout, Fo * Co), np.float32)
+    fo = np.repeat(np.arange(Fo), pf * Co)
+    j = np.tile(np.repeat(np.arange(pf), Co), Fo)
+    c = np.tile(np.arange(Co), Fo * pf)
+    Q[(fo * pf + j) * Co + c, fo * Co + c] = 1.0 / pf
+    return jnp.asarray(Q)
+
+
+def _epilogue_specs(dims, has_bits, has_pool, wgL, lf=None):
     in_specs = [
         _per_b((1, dims.Tp, dims.Lout)),
         _const2((1, dims.Lout)),
@@ -508,37 +539,44 @@ def _epilogue_specs(dims, has_bits, has_pool, wgL):
         in_specs.append(_per_b((1, dims.Tp, dims.Lout)))
     if has_pool:
         in_specs.append(_const2((dims.Tpout, dims.Tp)))
+    if lf is not None:
+        in_specs.append(_const2((dims.Lout, lf)))
     return in_specs
 
 
-def _epi_fwd_dispatch(*refs, has_bits, has_pool, **kw):
+def _epi_fwd_dispatch(*refs, has_bits, has_pool, has_fpool, **kw):
     it = iter(refs)
     y, sc, bi, wgg, bg = (next(it) for _ in range(5))
     bits = next(it) if has_bits else None
     p = next(it) if has_pool else None
+    q = next(it) if has_fpool else None
     o = next(it)
-    _epilogue_kernel(y, sc, bi, wgg, bg, bits, p, o, **kw)
+    _epilogue_kernel(y, sc, bi, wgg, bg, bits, p, q, o, **kw)
 
 
-def _epi_bwd_dispatch(*refs, has_bits, has_pool, **kw):
+def _epi_bwd_dispatch(*refs, has_bits, has_pool, has_fpool, **kw):
     it = iter(refs)
     y, sc, bi, wgg, bg = (next(it) for _ in range(5))
     bits = next(it) if has_bits else None
     p = next(it) if has_pool else None
+    q = next(it) if has_fpool else None
     g, dy, dsc, dbi, dwgg, dbg, accs, accwg = (next(it) for _ in range(8))
-    _epilogue_bwd_kernel(y, sc, bi, wgg, bg, bits, p, g,
+    _epilogue_bwd_kernel(y, sc, bi, wgg, bg, bits, p, q, g,
                          dy, dsc, dbi, dwgg, dbg, accs, accwg, **kw)
 
 
 def _glu_drop_pool_impl(y, scale_f, bias_f, wg, bg, bits,
-                        dims, keep_prob, interpret):
+                        dims, keep_prob, interpret, fpool=False):
     wgL = dims.Gg * dims.Co
     wgg = _glu_group_weight(wg, dims.Gg).astype(y.dtype)
     bg_f = jnp.tile(bg, dims.F).reshape(1, dims.Lout).astype(jnp.float32)
     thresh = min(int(round(keep_prob * 256)), 255) if keep_prob < 1.0 else 256
     P = _pool_matrix(dims)
+    Q = _fpool_matrix(dims) if fpool else None
+    lout = Q.shape[1] if Q is not None else dims.Lout
     kernel = functools.partial(
         _epi_fwd_dispatch, has_bits=bits is not None, has_pool=P is not None,
+        has_fpool=Q is not None,
         dims=dims, keep_thresh=thresh, inv_keep=1.0 / keep_prob,
     )
     args = [y, scale_f, bias_f, wgg, bg_f]
@@ -546,12 +584,15 @@ def _glu_drop_pool_impl(y, scale_f, bias_f, wg, bg, bits,
         args.append(bits)
     if P is not None:
         args.append(P)
+    if Q is not None:
+        args.append(Q)
     z = pl.pallas_call(
         kernel,
         grid=(dims.B,),
-        in_specs=_epilogue_specs(dims, bits is not None, P is not None, wgL),
-        out_specs=_per_b((1, dims.Tpout, dims.Lout)),
-        out_shape=jax.ShapeDtypeStruct((dims.B, dims.Tpout, dims.Lout), y.dtype),
+        in_specs=_epilogue_specs(dims, bits is not None, P is not None, wgL,
+                                 lf=None if Q is None else lout),
+        out_specs=_per_b((1, dims.Tpout, lout)),
+        out_shape=jax.ShapeDtypeStruct((dims.B, dims.Tpout, lout), y.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -561,21 +602,24 @@ def _glu_drop_pool_impl(y, scale_f, bias_f, wg, bg, bits,
 
 
 def _glu_drop_pool_fwd(y, scale_f, bias_f, wg, bg, bits,
-                       dims, keep_prob, interpret):
+                       dims, keep_prob, interpret, fpool=False):
     z = _glu_drop_pool_impl(y, scale_f, bias_f, wg, bg, bits,
-                            dims, keep_prob, interpret)
+                            dims, keep_prob, interpret, fpool)
     return z, (y, scale_f, bias_f, wg, bg, bits)
 
 
-def _glu_drop_pool_bwd(dims, keep_prob, interpret, res, g):
+def _glu_drop_pool_bwd(dims, keep_prob, interpret, fpool, res, g):
     y, scale_f, bias_f, wg, bg, bits = res
     wgL = dims.Gg * dims.Co
     wgg = _glu_group_weight(wg, dims.Gg).astype(y.dtype)
     bg_f = jnp.tile(bg, dims.F).reshape(1, dims.Lout).astype(jnp.float32)
     thresh = min(int(round(keep_prob * 256)), 255) if keep_prob < 1.0 else 256
     P = _pool_matrix(dims)
+    Q = _fpool_matrix(dims) if fpool else None
+    lf = Q.shape[1] if Q is not None else None
     kernel = functools.partial(
         _epi_bwd_dispatch, has_bits=bits is not None, has_pool=P is not None,
+        has_fpool=Q is not None,
         dims=dims, keep_thresh=thresh, inv_keep=1.0 / keep_prob,
     )
     args = [y, scale_f, bias_f, wgg, bg_f]
@@ -583,9 +627,12 @@ def _glu_drop_pool_bwd(dims, keep_prob, interpret, res, g):
         args.append(bits)
     if P is not None:
         args.append(P)
+    if Q is not None:
+        args.append(Q)
     args.append(g)
-    in_specs = _epilogue_specs(dims, bits is not None, P is not None, wgL) + [
-        _per_b((1, dims.Tpout, dims.Lout))
+    in_specs = _epilogue_specs(dims, bits is not None, P is not None, wgL,
+                               lf=lf) + [
+        _per_b((1, dims.Tpout, lf if Q is not None else dims.Lout))
     ]
     dy, dsc, dbi, dwgg, dbg = pl.pallas_call(
         kernel,
@@ -646,6 +693,7 @@ def fused_glu_block(
     eps: float = 1e-3,
     momentum: float = 0.01,
     interpret: bool = False,
+    fpool_in_kernel: bool = False,
 ):
     """One CNN block: conv3x3(SAME) + BatchNorm + GLU + dropout + avgpool.
 
@@ -686,8 +734,12 @@ def fused_glu_block(
         bits = jax.random.bits(
             dropout_key, (B, dims.Tp, dims.Lout), jnp.uint8
         )
+    fpool = fpool_in_kernel and pf > 1 and F % pf == 0
     z = glu_drop_pool(y, scale_f, bias_f, wg.astype(dt), bg.astype(dt),
-                      bits, dims, keep, interpret)
+                      bits, dims, keep, interpret, fpool)
+    if fpool:
+        return (z[:, : dims.Tout].reshape(B, dims.Tout, F // pf, Co),
+                new_mean, new_var)
     z = z[:, : dims.Tout].reshape(B, dims.Tout, F, Co)
     if pf > 1:
         z = z.reshape(B, dims.Tout, F // pf, pf, Co).mean(3, dtype=jnp.float32)

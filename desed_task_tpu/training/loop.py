@@ -42,6 +42,7 @@ class TrainLoop:
         accumulate_batches: int = 1,
         index_cache=None,  # data.device_cache.DeviceResidentData (uploaded)
         watchdog: Optional[StallWatchdog] = None,
+        checkpoint_interval: Optional[int] = None,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -59,6 +60,13 @@ class TrainLoop:
         self.accumulate_batches = accumulate_batches
         self.index_cache = index_cache
         self.watchdog = watchdog
+        # "last"-checkpoint cadence in epochs. None = validation cadence
+        # (matching the reference's ModelCheckpoint, which only fires on
+        # validation, train_pretrained.py:560-581), or every epoch when not
+        # validating. A full orbax save costs seconds through the tunneled
+        # TPU (state fetch + atomic rewrite), which dominates sub-second
+        # device-cached epochs if done unconditionally.
+        self.checkpoint_interval = checkpoint_interval
         self.best_obj = -np.inf
         self.epochs_since_best = 0
         self.start_epoch = 0
@@ -169,6 +177,7 @@ class TrainLoop:
             )
 
             is_val_epoch = (epoch + 1) % self.validation_interval == 0
+            stop = False
             if self.validate_fn is not None and is_val_epoch:
                 obj, scalars = self.validate_fn(self.state, epoch)
                 scalars = dict(scalars)
@@ -183,17 +192,23 @@ class TrainLoop:
                     self.epochs_since_best = 0
                 else:
                     self.epochs_since_best += self.validation_interval
-                if (
+                stop = (
                     self.early_stop_patience is not None
                     and self.epochs_since_best >= self.early_stop_patience
-                ):
-                    break
-            if self.ckpt is not None:
+                )
+            k = self.checkpoint_interval
+            if k is None:
+                k = self.validation_interval if self.validate_fn else 1
+            if self.ckpt is not None and (
+                (epoch + 1) % k == 0 or epoch == self.n_epochs - 1 or stop
+            ):
                 self.ckpt.save(
                     self.state,
                     {"epoch": epoch, "best_obj": float(self.best_obj)},
                     name="last",
                 )
+            if stop:
+                break
         if self.energy:
             kwh = self.energy.stop()
             self.logger.log_scalars(step_count, {"train/energy_kwh_estimate": kwh})

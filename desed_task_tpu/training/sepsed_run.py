@@ -223,6 +223,7 @@ def sepsed_single_run(
         validation_interval=1 if fast_dev_run else t.get("validation_interval", 10),
         early_stop_patience=t.get("early_stop_patience"),
         rng=jax.random.key(t.get("seed", 42) + 1),
+        checkpoint_interval=t.get("checkpoint_interval"),
     )
     if test_from_checkpoint is not None:
         tmgr = CheckpointManager(test_from_checkpoint)

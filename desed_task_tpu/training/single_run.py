@@ -511,6 +511,7 @@ def single_run(
         # device fetch by probing from a subprocess (obs/watchdog.py)
         watchdog=StallWatchdog(),
         log_every=t.get("log_every", 50),
+        checkpoint_interval=t.get("checkpoint_interval"),
     )
 
     test_results = None

@@ -35,6 +35,11 @@ BREAKOUT = 0.1  # first epoch with obj above this
 
 def load_run(d: Path):
     df = pd.read_csv(d / "metrics.csv")
+    # a crashed-then-resumed run (or an overlapping stale process) can log
+    # the same (step, name) twice; keep the latest row per key
+    df = df.sort_values("time").drop_duplicates(
+        subset=["step", "name"], keep="last"
+    ).sort_values("step")
     out = {}
     for key in VAL_KEYS:
         rows = df[df.name == key]

@@ -38,6 +38,10 @@ def build(variant: str):
         kwargs["fused_blocks"] = False
     elif variant in ("gru_scan", "gru_pallas"):
         kwargs["rnn_pallas"] = variant == "gru_pallas"
+    elif variant == "fpool_kernel":
+        kwargs["fused_fpool"] = True
+    elif variant == "nofpool":
+        kwargs["fused_fpool"] = False
     model = crnn_2024(**kwargs)
     n_class, t_lab = 27, 156
     rng = np.random.default_rng(0)

@@ -226,3 +226,48 @@ def test_cnn_fused_matches_unfused(train):
                 np.asarray(fused_leaves[k]), np.asarray(ref_leaves[k]),
                 rtol=2e-4, atol=1e-5, err_msg=k,
             )
+
+
+@pytest.mark.parametrize("geom", [GEOMS[0], GEOMS[1], GEOMS[4]])
+@pytest.mark.parametrize("train", [True, False])
+def test_fused_block_fpool_in_kernel_forward(geom, train):
+    """In-kernel F-pool (lane-averaging matmul in kernel B) == XLA F-pool."""
+    B, T, F, Ci, Co, pool = geom
+    args = _inputs(B, T, F, Ci, Co, seed=7)
+    z, m, v = fused_glu_block(
+        *args, pool=pool, train=train, dropout_rate=0.0,
+        interpret=True, fpool_in_kernel=True,
+    )
+    z_ref, m_ref, v_ref = naive_block(*args, pool=pool, train=train)
+    assert z.shape == z_ref.shape
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_fused_block_fpool_in_kernel_gradients():
+    B, T, F, Ci, Co, pool = GEOMS[1]
+    args = _inputs(B, T, F, Ci, Co, seed=8)
+
+    def loss(fpool):
+        def fn(x, w, bias, gamma, beta, wg, bg):
+            z, _, _ = fused_glu_block(
+                x, w, bias, gamma, beta, args[5], args[6], wg, bg,
+                pool=pool, train=True, dropout_rate=0.0, interpret=True,
+                fpool_in_kernel=fpool,
+            )
+            return jnp.sum(z * z)
+        return fn
+
+    diff_args = (args[0], args[1], args[2], args[3], args[4], args[7], args[8])
+    g_q = jax.grad(loss(True), argnums=tuple(range(7)))(*diff_args)
+    g_x = jax.grad(loss(False), argnums=tuple(range(7)))(*diff_args)
+    for name, a, b in zip(["x", "w", "bias", "gamma", "beta", "wg", "bg"],
+                          g_q, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-3,
+            err_msg=f"fpool grad mismatch for {name}",
+        )

@@ -209,3 +209,73 @@ def test_multilabel_f1():
     targets = np.array([[1, 0], [1, 1], [0, 1]])
     assert multilabel_f1_macro(probs, targets) == 1.0
     assert multilabel_f1_macro(1 - probs, targets) == 0.0
+
+
+def test_checkpoint_cadence(corpus, tmp_path):
+    """`last` saves follow checkpoint_interval (default: validation cadence
+    — the reference's ModelCheckpoint only fires on validation), plus the
+    final epoch and the early-stop epoch, never in between."""
+    root, synth_tsv, weak_tsv, val_tsv, val_dur = corpus
+    datasets = {
+        "synth": StronglyAnnotatedSet(root / "synth", synth_tsv, ENC, pad_to=2),
+        "weak": WeakSet(root / "weak", weak_tsv, ENC, pad_to=2),
+        "unlabeled": UnlabeledSet(root / "unlab", ENC, pad_to=2),
+    }
+    batcher = MultiSourceBatcher(
+        datasets, {"synth": 4, "weak": 4, "unlabeled": 4}, seed=0, num_workers=0
+    )
+    cfg = MeanTeacherConfig(
+        slots=(
+            SlotSpec("synth", 4, "strong"),
+            SlotSpec("weak", 4, "weak"),
+            SlotSpec("unlabeled", 4, "unlabeled"),
+        ),
+        mixup="soft",
+        mixup_groups=(("synth",), ("weak",)),
+        rampup_steps=10,
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    sample = next(iter(batcher.epoch(steps=1)))
+    state = create_state(model, cfg, tx, jax.random.key(0), sample)
+    step = jax.jit(make_train_step(model, cfg, tx, sched), donate_argnums=0)
+
+    class CountingCkpt(CheckpointManager):
+        def __init__(self, directory):
+            super().__init__(directory)
+            self.save_epochs = []
+
+        def save(self, state, metadata=None, name="last"):
+            if name == "last":
+                self.save_epochs.append(metadata["epoch"])
+            super().save(state, metadata, name)
+
+    # no validate_fn, explicit interval 3, 7 epochs: saves at 2, 5, final 6
+    ckpt = CountingCkpt(tmp_path / "ck_int3")
+    logger = MetricsLogger(tmp_path / "logs_cad", use_tensorboard=False)
+    loop = TrainLoop(
+        step, state, batcher, n_epochs=7, logger=logger, ckpt=ckpt,
+        rng=jax.random.key(1), checkpoint_interval=3,
+    )
+    state2 = loop.run()
+    assert ckpt.save_epochs == [2, 5, 6]
+    assert loop.resume("last") and loop.start_epoch == 7
+
+    # default (None) without validation falls back to every epoch
+    ckpt2 = CountingCkpt(tmp_path / "ck_def")
+    loop2 = TrainLoop(
+        step, state2, batcher, n_epochs=2, logger=logger, ckpt=ckpt2,
+        rng=jax.random.key(1),
+    )
+    state3 = loop2.run()
+    assert ckpt2.save_epochs == [0, 1]
+
+    # default with validation every 2 epochs: saves on val epochs + final
+    ckpt3 = CountingCkpt(tmp_path / "ck_val")
+    loop3 = TrainLoop(
+        step, state3, batcher, n_epochs=5, logger=logger, ckpt=ckpt3,
+        validate_fn=lambda state, epoch: (0.5, {}),
+        validation_interval=2, rng=jax.random.key(1),
+    )
+    loop3.run()
+    assert ckpt3.save_epochs == [1, 3, 4]
