@@ -351,6 +351,7 @@ def test_2021_style_config_runs(rng):
     assert int(state.step) == 3
 
 
+@pytest.mark.slow  # multi-device integration: 8-dev shard_map x interpret-mode
 def test_sharded_step_with_fused_pallas_blocks(rng):
     """Pod-deployment path: the fused Pallas conv-block kernels must trace
     and execute inside shard_map (per-device local batch shapes). Runs the
