@@ -46,6 +46,7 @@ def load_run(d: Path):
         out[key] = (rows.step.to_numpy(), rows.value.to_numpy())
     epochs = df[df.name == "train/epoch"]
     steps_per_epoch = None
+    n_epochs = int(epochs.value.max()) + 1 if len(epochs) else 0
     if len(epochs) > 1:
         d_steps = np.diff(epochs.step.to_numpy())
         steps_per_epoch = int(np.median(d_steps)) or None
@@ -53,7 +54,7 @@ def load_run(d: Path):
     tj = d / "test_results.json"
     if tj.exists():
         test = json.loads(tj.read_text())
-    return out, test, steps_per_epoch
+    return out, test, steps_per_epoch, n_epochs
 
 
 def main():
@@ -71,7 +72,9 @@ def main():
     for d in sorted(root.glob("*_seed*")):
         if d.name in args.skip:
             continue
-        if (d / "metrics.csv").exists() and (d / "test_results.json").exists():
+        # a run without test_results.json (still training / no final battery)
+        # still contributes its validation trajectory — the primary evidence
+        if (d / "metrics.csv").exists():
             runs[d.name] = load_run(d)
     if not runs:
         raise SystemExit(f"no completed runs under {root}")
@@ -85,7 +88,7 @@ def main():
     fig, axes = plt.subplots(1, len(VAL_KEYS), figsize=(5 * len(VAL_KEYS), 4))
     for ax, key in zip(np.atleast_1d(axes), VAL_KEYS):
         by_fw: dict[str, list] = {}
-        for name, (curves, _, spe) in sorted(runs.items()):
+        for name, (curves, _, spe, _) in sorted(runs.items()):
             steps, vals = curves[key]
             if not len(steps):
                 continue
@@ -119,11 +122,11 @@ def main():
     fig.savefig(out / "curves.png", dpi=130)
 
     header = (
-        "| run | best obj | final obj | breakout ep | "
+        "| run | epochs | best obj | final obj | breakout ep | "
         + " | ".join(k.replace("_macro", "") for k in TEST_KEYS) + " |"
     )
-    lines = [header, "|" + "---|" * (4 + len(TEST_KEYS))]
-    for name, (curves, test, spe) in sorted(runs.items()):
+    lines = [header, "|" + "---|" * (5 + len(TEST_KEYS))]
+    for name, (curves, test, spe, n_epochs) in sorted(runs.items()):
         steps, vals = curves["val/obj_metric"]
         epochs = steps / (spe or 1)
         bo = f"{vals.max():.3f}" if len(vals) else "-"
@@ -134,7 +137,8 @@ def main():
             f"{test[k]:.4f}" if k in test else "-" for k in TEST_KEYS
         ]
         lines.append(
-            f"| {name} | {bo} | {fo} | {brk} | " + " | ".join(cells) + " |"
+            f"| {name} | {n_epochs} | {bo} | {fo} | {brk} | "
+            + " | ".join(cells) + " |"
         )
     (out / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
