@@ -277,7 +277,7 @@ def phase_extract(root: Path, checkpoint: str | None = None):
                    str(root / "embeddings"), batch_size=32, dtype="float16")
 
 
-def build_config(root: Path, epochs: int) -> dict:
+def build_config(root: Path, epochs: int, seed: int = 42) -> dict:
     from desed_task_tpu.recipes_config import CRNN_2024_NET, MEDIAN_2024
 
     net = dict(CRNN_2024_NET)
@@ -298,7 +298,7 @@ def build_config(root: Path, epochs: int) -> dict:
             "validation_interval": 5,
             "weak_split": 0.9,
             "maestro_split": 0.9,
-            "seed": 42,
+            "seed": seed,
             "mixup": "soft",
             "mixup_prob": 0.5,
             "obj_metric_synth_type": "intersection",
@@ -342,11 +342,12 @@ def build_config(root: Path, epochs: int) -> dict:
 
 
 def phase_train(root: Path, epochs: int, resume: bool = False,
-                fast: bool = True):
+                fast: bool = True, seed: int = 42):
     from desed_task_tpu.training.single_run import single_run
 
-    config = build_config(root, epochs)
-    exp = root / ("exp" if fast else "exp_fp32")
+    config = build_config(root, epochs, seed=seed)
+    exp = root / (("exp" if fast else "exp_fp32")
+                  + (f"_s{seed}" if seed != 42 else ""))
     state, results = single_run(config, str(exp), checkpoint_resume=resume,
                                 fast=fast)
     out = {k: v for k, v in (results or {}).items() if isinstance(v, float)}
@@ -370,6 +371,9 @@ def main():
                    help="train the fp32/XLA reference-parity path "
                         "(default: bf16 + fused Pallas fast path) — "
                         "for the precision convergence A/B")
+    p.add_argument("--seed", type=int, default=42,
+                   help="training seed (exp dir gets a _s<seed> suffix "
+                        "for seeds != 42)")
     args = p.parse_args()
     root = Path(args.workdir)
     if args.phase in ("generate", "all"):
@@ -380,7 +384,7 @@ def main():
         phase_extract(root)
     if args.phase in ("train", "all"):
         phase_train(root, args.epochs, resume=args.resume,
-                    fast=not args.fp32)
+                    fast=not args.fp32, seed=args.seed)
 
 
 if __name__ == "__main__":
