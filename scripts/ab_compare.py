@@ -33,6 +33,12 @@ TEST_KEYS = [
 BREAKOUT = 0.1  # first epoch with obj above this
 
 
+LOSS_KEYS = {  # torch-mirror name -> jax name (same quantity)
+    "loss_strong": ("train/student/loss_strong", "train/loss_strong"),
+    "loss_weak": ("train/student/loss_weak", "train/loss_weak"),
+}
+
+
 def load_run(d: Path):
     df = pd.read_csv(d / "metrics.csv")
     # a crashed-then-resumed run (or an overlapping stale process) can log
@@ -43,6 +49,9 @@ def load_run(d: Path):
     out = {}
     for key in VAL_KEYS:
         rows = df[df.name == key]
+        out[key] = (rows.step.to_numpy(), rows.value.to_numpy())
+    for key, (tname, jname) in LOSS_KEYS.items():
+        rows = df[df.name.isin((tname, jname))]
         out[key] = (rows.step.to_numpy(), rows.value.to_numpy())
     epochs = df[df.name == "train/epoch"]
     steps_per_epoch = None
@@ -120,6 +129,29 @@ def main():
     )
     fig.tight_layout(rect=[0, 0.1, 1, 1])
     fig.savefig(out / "curves.png", dpi=130)
+
+    # per-epoch training losses, torch vs jax — the most directly comparable
+    # signal (same objective math on the same batch stream)
+    figl, axesl = plt.subplots(1, len(LOSS_KEYS), figsize=(6 * len(LOSS_KEYS), 4))
+    for ax, key in zip(np.atleast_1d(axesl), LOSS_KEYS):
+        for name, (curves, _, spe, _) in sorted(runs.items()):
+            steps, vals = curves[key]
+            if not len(steps):
+                continue
+            fw = name.split("_")[0]
+            # smooth with a short rolling mean for readability
+            k = max(len(vals) // 100, 1)
+            sm = pd.Series(vals).rolling(k, min_periods=1).mean().to_numpy()
+            ax.plot(steps / (spe or 1), sm, lw=1.0,
+                    color=colors.get(fw, "gray"), alpha=0.8, label=name)
+        ax.set_title(f"train {key}", fontsize=10)
+        ax.set_xlabel("epoch")
+        ax.grid(alpha=0.25)
+        ax.legend(fontsize=7)
+    figl.suptitle("Per-epoch training losses, reference torch (red) vs "
+                  "this repo (fp32 blue, bf16 fast green)")
+    figl.tight_layout()
+    figl.savefig(out / "losses.png", dpi=130)
 
     header = (
         "| run | epochs | best obj | final obj | breakout ep | "
