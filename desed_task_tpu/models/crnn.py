@@ -73,6 +73,9 @@ class CRNN(nn.Module):
     specaugm_t_l: int = 5
     specaugm_f_p: float = 0.2
     specaugm_f_l: int = 10
+    # reproduce the reference's one-SpecAugment-mask-per-batch quirk
+    # (PARITY #8; torchaudio 3-D fallback) for divergence-attribution A/Bs
+    specaugm_shared: bool = False
     dropstep_recurrent: float = 0.0
     dropstep_recurrent_len: int = 5
     # CNN kwargs (reference forwards **kwargs to CNN)
@@ -125,6 +128,7 @@ class CRNN(nn.Module):
                 self.specaugm_t_p,
                 self.specaugm_f_l,
                 self.specaugm_f_p,
+                shared=self.specaugm_shared,
             )
 
         # [B, n_mels, T] -> NHWC [B, T, n_mels, 1]

@@ -107,19 +107,26 @@ def time_mask(
     p: float = 1.0,
     axis: int = -1,
     mask_value: float = 0.0,
+    shared: bool = False,
 ):
     """torchaudio TimeMasking(iid_masks=True) semantics on an arbitrary axis.
 
     Per example: mask length ~ U[0, mask_param') where mask_param' =
     min(mask_param, floor(axis_len * p)) when p < 1; start ~ U[0, len - l).
     Used for SpecAugment (both axes) and recurrent dropstep.
+
+    `shared=True` reproduces the reference's ACTUAL behavior (PARITY #8):
+    torchaudio only applies iid masks to 4-D input, and CRNN.apply_specaugment
+    (nnet/CRNN.py:207-219) feeds it 3-D, so ONE mask is drawn and shared by
+    the whole batch. Default stays per-example (strictly more augmentation
+    diversity); the flag exists for controlled divergence-attribution A/Bs.
     """
     axis = axis % x.ndim
     length = x.shape[axis]
     eff = mask_param if p >= 1.0 else min(mask_param, int(length * p))
     if eff <= 0:
         return x
-    b = x.shape[0]
+    b = 1 if shared else x.shape[0]
     k1, k2 = jax.random.split(rng)
     val = jax.random.uniform(k1, (b,)) * eff  # mask length (float, like torch)
     start = jax.random.uniform(k2, (b,)) * (length - val)
@@ -140,10 +147,13 @@ def specaugment(
     t_p: float,
     f_l: int,
     f_p: float,
+    shared: bool = False,
 ):
     """SpecAugment as in CRNN.apply_specaugment (CRNN.py:207-219): a frequency
-    mask then a time mask, each with torchaudio TimeMasking semantics."""
+    mask then a time mask, each with torchaudio TimeMasking semantics.
+    `shared=True` mirrors the reference's one-mask-per-batch quirk (PARITY #8,
+    see time_mask)."""
     k1, k2 = jax.random.split(rng)
-    x = time_mask(k1, x, f_l, f_p, axis=1)  # frequency axis
-    x = time_mask(k2, x, t_l, t_p, axis=2)  # time axis
+    x = time_mask(k1, x, f_l, f_p, axis=1, shared=shared)  # frequency axis
+    x = time_mask(k2, x, t_l, t_p, axis=2, shared=shared)  # time axis
     return x

@@ -79,3 +79,22 @@ def test_specaugment_masks_both_axes(rng):
     # some full-frequency rows and full-time columns zeroed
     assert (out == 0).any()
     assert out.shape == x.shape
+
+
+def test_time_mask_shared_is_one_batch_mask(rng):
+    """PARITY #8: shared=True reproduces torchaudio's 3-D fallback — every
+    example in the batch gets the IDENTICAL mask (nnet/CRNN.py:207-219)."""
+    x = jnp.ones((32, 5, 100))
+    out = np.asarray(
+        time_mask(jax.random.key(0), x, mask_param=20, p=1.0, axis=2, shared=True)
+    )
+    cols = out[:, 0, :] == 0  # [B, T] masked columns
+    assert cols.any()  # a mask was drawn
+    assert (cols == cols[0]).all()  # identical across the batch
+    assert cols.sum(axis=1).max() <= 20 * 1.001
+    # per-example (default) draws differing masks with overwhelming probability
+    out_iid = np.asarray(
+        time_mask(jax.random.key(0), x, mask_param=20, p=1.0, axis=2)
+    )
+    cols_iid = out_iid[:, 0, :] == 0
+    assert not (cols_iid == cols_iid[0]).all()
