@@ -275,7 +275,8 @@ class DeviceEvalCache:
     audio storage round-trips PCM16 sources bit-exactly.
     """
 
-    def __init__(self, dataset, batch_size: int, num_workers: int = 4):
+    def __init__(self, dataset, batch_size: int, num_workers: int = 4,
+                 n_shards: int = 1):
         from concurrent.futures import ThreadPoolExecutor
 
         self.batch_size = int(batch_size)
@@ -285,7 +286,13 @@ class DeviceEvalCache:
         if first["audio"].ndim != 1:
             raise ValueError("eval cache supports mono [N] audio only")
         self.n = n
-        self.n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+        # pad to a whole number of batches per shard so a data mesh can
+        # row-shard the stores and scan them SPMD (SURVEY §5: sharded eval
+        # with a gather of score arrays back to the host)
+        chunk = batch_size * max(int(n_shards), 1)
+        self.n_pad = ((n + chunk - 1) // chunk) * chunk
+        self.mesh = None
+        self.mesh_axis = None
         self._audio = np.zeros((self.n_pad, audio_len), np.int16)
         self._emb = None
         if "embeddings" in first:
@@ -316,11 +323,40 @@ class DeviceEvalCache:
     def __len__(self):
         return self.n
 
-    def upload(self, chunk_bytes: int = 64 << 20, verbose: bool = False):
+    def upload(self, chunk_bytes: int = 64 << 20, verbose: bool = False,
+               mesh=None, mesh_axis: str = "data"):
         import jax
         import jax.numpy as jnp
 
         bs = self.batch_size
+        if mesh is not None and mesh.size > 1:
+            # row-shard the stores over the data mesh (n_pad is a multiple of
+            # batch_size * mesh.size by construction when the cache was built
+            # with n_shards=mesh.size); the sharded predict scan in
+            # training/evaluate.py runs each shard's batches device-locally
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.n_pad % (bs * mesh.size):
+                raise ValueError(
+                    f"n_pad={self.n_pad} not shardable into {mesh.size} "
+                    f"whole-batch shards of batch_size={bs}; build the cache "
+                    f"with n_shards=mesh.size"
+                )
+            self.mesh = mesh
+            self.mesh_axis = mesh_axis
+            spec = NamedSharding(mesh, PartitionSpec(mesh_axis))
+            audio = jax.device_put(self._audio, spec)
+            emb = None
+            if self._emb is not None:
+                emb = jax.device_put(self._emb, spec)
+            self.stores = {"audio": audio, "embeddings": emb}
+            self._audio = None
+            self._emb = None
+            if verbose:
+                print(
+                    f"[device-cache] eval upload (sharded x{mesh.size}): "
+                    f"{self.nbytes / 1e6:.0f} MB", flush=True)
+            return self.stores
         audio = upload_chunked(self._audio, chunk_bytes)
         self._slice_audio = jax.jit(
             lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, bs, 0).astype(
@@ -346,6 +382,10 @@ class DeviceEvalCache:
         """Yield (audio_dev [bs, L] f32, emb_dev | None, n_real, filenames,
         labels_np) per batch — audio/emb are device arrays, no transfer."""
         assert self.stores is not None, "call upload() first"
+        assert self.mesh is None, (
+            "per-batch slicing is single-device; sharded caches are consumed "
+            "by the shard_map scan in training/evaluate.py"
+        )
         for start in range(0, self.n, self.batch_size):
             n_real = min(self.batch_size, self.n - start)
             audio = self._slice_audio(self.stores["audio"], np.int32(start))
@@ -364,16 +404,19 @@ class DeviceEvalCache:
 
 
 def build_eval_caches(eval_sets, batch_size: int, max_bytes: int = 2 << 30,
-                      verbose: bool = True) -> dict:
+                      verbose: bool = True, mesh=None,
+                      mesh_axis: str = "data") -> dict:
     """DeviceEvalCache wrappers for eval datasets (None passes through;
-    oversize or incompatible sets stay host-side)."""
+    oversize or incompatible sets stay host-side). With a `mesh`, stores are
+    row-sharded over its `mesh_axis` and validation forwards run SPMD."""
     out = {}
+    n_shards = mesh.size if mesh is not None else 1
     for name, ds in eval_sets.items():
         if ds is None or len(ds) == 0:
             out[name] = ds
             continue
         try:
-            cache = DeviceEvalCache(ds, batch_size)
+            cache = DeviceEvalCache(ds, batch_size, n_shards=n_shards)
         except (ValueError, KeyError) as e:
             if verbose:
                 print(f"[device-cache] eval {name!r} stays host-side: {e}",
@@ -383,9 +426,10 @@ def build_eval_caches(eval_sets, batch_size: int, max_bytes: int = 2 << 30,
         if cache.nbytes > max_bytes:
             out[name] = ds
             continue
-        cache.upload()
+        cache.upload(mesh=mesh, mesh_axis=mesh_axis)
         if verbose:
+            shard = f" x{n_shards} shards" if mesh is not None else ""
             print(f"[device-cache] eval {name!r}: {len(ds)} clips, "
-                  f"{cache.nbytes / 1e6:.0f} MB on device", flush=True)
+                  f"{cache.nbytes / 1e6:.0f} MB on device{shard}", flush=True)
         out[name] = cache
     return out

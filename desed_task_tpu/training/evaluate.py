@@ -87,10 +87,13 @@ def _predict_cache_all(
     if run is None:
         bs = cache.batch_size
         has_emb = cache.stores["embeddings"] is not None
-        starts = np.arange(0, cache.n_pad, bs, dtype=np.int32)
+        mesh = getattr(cache, "mesh", None)
+        n_shards = mesh.size if mesh is not None else 1
+        # local starts: each shard scans its own resident rows; single-device
+        # this is simply every batch
+        starts = np.arange(0, cache.n_pad // n_shards, bs, dtype=np.int32)
 
-        @jax.jit
-        def run(params, stats, scaler, audio_store, emb_store):
+        def scan_batches(params, stats, scaler, audio_store, emb_store):
             def body(carry, start):
                 audio = (
                     jax.lax.dynamic_slice_in_dim(audio_store, start, bs, 0)
@@ -116,6 +119,29 @@ def _predict_cache_all(
 
             _, outs = jax.lax.scan(body, None, jnp.asarray(starts))
             return outs
+
+        if mesh is not None:
+            # SPMD eval (SURVEY §5): every device scans its row shard of the
+            # stores with replicated params; the stacked score arrays come
+            # back sharded on the leading (batch-of-batches) axis and the
+            # single np.asarray fetch below IS the gather to host 0. Shard
+            # order == global row order, so downstream truncation to n is
+            # unchanged. No collectives: pure data-parallel forward.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            axis = cache.mesh_axis
+            emb_spec = P(axis) if has_emb else P()
+            mapped = shard_map(
+                scan_batches,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis), emb_spec),
+                out_specs=P(axis),
+                check_rep=False,
+            )
+            run = jax.jit(mapped)
+        else:
+            run = jax.jit(scan_batches)
 
         scans[key] = run
 

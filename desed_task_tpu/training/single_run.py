@@ -455,15 +455,19 @@ def single_run(
             embeddings_hdf5_file=_emb_file(config, "maestro_real_train"),
             embedding_type=emb_type,
         )
-    if cache is not None and t.get("device_cache_eval", True):
+    if (cache is not None or mesh is not None) and t.get("device_cache_eval", True):
         # recurring validation passes (student + teacher, every N epochs)
-        # also serve from device-resident stores
+        # also serve from device-resident stores; on a mesh the stores are
+        # row-sharded and the eval scan runs SPMD with a score gather to
+        # host 0 (SURVEY §5), so pod validation scales with the mesh instead
+        # of serializing onto one chip
         from ..data.device_cache import build_eval_caches
 
         wrapped = build_eval_caches(
             {"weak_val": weak_val, "synth_val": synth_val,
              "maestro_val": maestro_val_set},
             t.get("batch_size_val", 24), verbose=not fast_dev_run,
+            mesh=mesh,
         )
         weak_val = wrapped["weak_val"]
         synth_val = wrapped["synth_val"]

@@ -279,3 +279,94 @@ def test_checkpoint_cadence(corpus, tmp_path):
     )
     loop3.run()
     assert ckpt3.save_epochs == [1, 3, 4]
+
+
+def test_mesh_checkpoint_roundtrip_resume(corpus, tmp_path):
+    """VERDICT r4 #6: save -> restore -> continue-training of a replicated
+    MeanTeacherState on the 8-virtual-device mesh reproduces an uninterrupted
+    run step for step (metrics AND final params bit-equal)."""
+    from desed_task_tpu.parallel import make_mesh, replicate
+    from desed_task_tpu.training import make_train_step_sharded
+
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    root, synth_tsv, weak_tsv, *_ = corpus
+    datasets = {
+        "synth": StronglyAnnotatedSet(root / "synth", synth_tsv, ENC, pad_to=2),
+        "weak": WeakSet(root / "weak", weak_tsv, ENC, pad_to=2),
+        "unlabeled": UnlabeledSet(root / "unlab", ENC, pad_to=2),
+    }
+    sizes = {"synth": n_dev, "weak": n_dev, "unlabeled": n_dev}
+    cfg = MeanTeacherConfig(
+        slots=(
+            SlotSpec("synth", n_dev, "strong"),
+            SlotSpec("weak", n_dev, "weak"),
+            SlotSpec("unlabeled", n_dev, "unlabeled"),
+        ),
+        mixup="soft",
+        mixup_groups=(("synth",), ("weak",)),
+        rampup_steps=10,
+    )
+    model = tiny_model()
+    tx, sched = make_optimizer(lr=1e-3, rampup_steps=10)
+    mesh = make_mesh({"data": n_dev})
+
+    def fresh_state(batcher):
+        sample = next(iter(batcher.epoch(steps=1)))
+        st = create_state(model, cfg, tx, jax.random.key(0), sample)
+        return jax.device_put(st, replicate(mesh))
+
+    def make_loop(state, batcher, rec, ckpt, n_epochs):
+        step = make_train_step_sharded(
+            model, cfg, tx, sched, mesh,
+            next(iter(batcher.epoch(steps=1))),
+        )
+
+        def rec_step(st, batch, rng):
+            st, m = step(st, batch, rng)
+            rec.append(float(m["loss"]))
+            return st, m
+
+        return TrainLoop(
+            rec_step, state, batcher, mesh=mesh, n_epochs=n_epochs,
+            logger=MetricsLogger(tmp_path / "logs_mesh", use_tensorboard=False),
+            ckpt=ckpt, rng=jax.random.key(1), log_every=1,
+        )
+
+    # uninterrupted 4-epoch run (2 steps/epoch with 8-clip sets, batch n_dev)
+    losses_a: list = []
+    batch_a = MultiSourceBatcher(datasets, sizes, seed=0, num_workers=1)
+    loop_a = make_loop(fresh_state(batch_a), batch_a, losses_a, None, 4)
+    state_a = loop_a.run()
+
+    # interrupted: 2 epochs -> 'last' checkpoint -> fresh loop resumes
+    losses_b: list = []
+    ckpt = CheckpointManager(tmp_path / "ckpt_mesh")
+    batch_b = MultiSourceBatcher(datasets, sizes, seed=0, num_workers=1)
+    loop_b1 = make_loop(fresh_state(batch_b), batch_b, losses_b, ckpt, 2)
+    loop_b1.run()
+
+    losses_b2: list = []
+    batch_b2 = MultiSourceBatcher(datasets, sizes, seed=0, num_workers=1)
+    for _ in range(2):  # advance the stateful batch stream to epoch 2
+        for _ in batch_b2.epoch():
+            pass
+    loop_b2 = make_loop(fresh_state(batch_b2), batch_b2, losses_b2, ckpt, 4)
+    assert loop_b2.resume("last") and loop_b2.start_epoch == 2
+    state_b = loop_b2.run()
+
+    # step-for-step metric equality past the resume point + equal params
+    np.testing.assert_array_equal(losses_b + losses_b2, losses_a)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.student_params),
+        jax.tree_util.tree_leaves(state_b.student_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.teacher_params),
+        jax.tree_util.tree_leaves(state_b.teacher_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jax.device_get(state_b.step)) == int(jax.device_get(state_a.step))
