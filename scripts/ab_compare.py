@@ -66,6 +66,21 @@ def load_run(d: Path):
     return out, test, steps_per_epoch, n_epochs
 
 
+def summary_row(name: str, run) -> str:
+    """One summary-table row; shared with ab_snapshot_run.py so single-row
+    in-place updates can never drift from the full table's columns."""
+    curves, test, spe, n_epochs = run
+    steps, vals = curves["val/obj_metric"]
+    epochs = steps / (spe or 1)
+    bo = f"{vals.max():.3f}" if len(vals) else "-"
+    fo = f"{vals[-1]:.3f}" if len(vals) else "-"
+    above = epochs[vals > BREAKOUT] if len(vals) else []
+    brk = f"{above[0]:.0f}" if len(above) else "-"
+    cells = [f"{test[k]:.4f}" if k in test else "-" for k in TEST_KEYS]
+    return (f"| {name} | {n_epochs} | {bo} | {fo} | {brk} | "
+            + " | ".join(cells) + " |")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/root/ab_data/exp")
@@ -93,7 +108,8 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    colors = {"torch": "#d62728", "jax": "#1f77b4", "jaxfast": "#2ca02c"}
+    colors = {"torch": "#d62728", "jax": "#1f77b4", "jaxfast": "#2ca02c",
+              "jaxshared": "#9467bd"}
     fig, axes = plt.subplots(1, len(VAL_KEYS), figsize=(5 * len(VAL_KEYS), 4))
     for ax, key in zip(np.atleast_1d(axes), VAL_KEYS):
         by_fw: dict[str, list] = {}
@@ -158,20 +174,8 @@ def main():
         + " | ".join(k.replace("_macro", "") for k in TEST_KEYS) + " |"
     )
     lines = [header, "|" + "---|" * (5 + len(TEST_KEYS))]
-    for name, (curves, test, spe, n_epochs) in sorted(runs.items()):
-        steps, vals = curves["val/obj_metric"]
-        epochs = steps / (spe or 1)
-        bo = f"{vals.max():.3f}" if len(vals) else "-"
-        fo = f"{vals[-1]:.3f}" if len(vals) else "-"
-        above = epochs[vals > BREAKOUT] if len(vals) else []
-        brk = f"{above[0]:.0f}" if len(above) else "-"
-        cells = [
-            f"{test[k]:.4f}" if k in test else "-" for k in TEST_KEYS
-        ]
-        lines.append(
-            f"| {name} | {n_epochs} | {bo} | {fo} | {brk} | "
-            + " | ".join(cells) + " |"
-        )
+    for name, run in sorted(runs.items()):
+        lines.append(summary_row(name, run))
     (out / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
     print(f"\nwrote {out}/curves.png and {out}/summary.md")

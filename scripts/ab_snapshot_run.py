@@ -19,20 +19,7 @@ from pathlib import Path
 import sys
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-from ab_compare import BREAKOUT, TEST_KEYS, load_run  # noqa: E402
-
-
-def summary_row(name: str, run) -> str:
-    curves, test, spe, n_epochs = run
-    steps, vals = curves["val/obj_metric"]
-    epochs = steps / (spe or 1)
-    bo = f"{vals.max():.3f}" if len(vals) else "-"
-    fo = f"{vals[-1]:.3f}" if len(vals) else "-"
-    above = epochs[vals > BREAKOUT] if len(vals) else []
-    brk = f"{above[0]:.0f}" if len(above) else "-"
-    cells = [f"{test[k]:.4f}" if k in test else "-" for k in TEST_KEYS]
-    return (f"| {name} | {n_epochs} | {bo} | {fo} | {brk} | "
-            + " | ".join(cells) + " |")
+from ab_compare import load_run, summary_row  # noqa: E402
 
 
 def main():
@@ -44,6 +31,8 @@ def main():
     out = Path(args.out)
     name = run_dir.name
 
+    if not (run_dir / "metrics.csv").exists():
+        raise SystemExit(f"no metrics.csv under {run_dir} — not a run dir")
     row = summary_row(name, load_run(run_dir))
     summary = out / "summary.md"
     lines = summary.read_text().splitlines()
