@@ -263,8 +263,11 @@ class CNN(nn.Module):
     # uint32 word — 4x less RBG work + HBM; exact for rate 0.5, ops/dropout.py)
     packed_dropout: bool = True
     # fused Pallas block kernels (ops/pallas_cnn.py): conv+BN+GLU+dropout+pool
-    # in two kernels per block. None = auto (on for bf16 compute on TPU, the
-    # perf path; fp32 stays on the golden XLA chain). True/False force;
+    # in two kernels per block. None = auto (on on TPU for bf16 AND fp32
+    # compute: fp32 fused measured 33.3 vs 81.4 ms/step on the 2024 flagship
+    # train step, accumulation-order-equal to the golden XLA chain —
+    # scripts/check_fp32_fused.py gates the real-Mosaic lowering, the
+    # interpret tests pin math + dropout semantics). True/False force;
     # "interpret" runs the kernels in interpreter mode (CPU tests).
     fused_blocks: Any = None
     # run the F-pool inside kernel B as a lane-averaging matmul instead of
@@ -279,7 +282,7 @@ class CNN(nn.Module):
             import jax as _jax
 
             mode = (
-                self.dtype == jnp.bfloat16
+                self.dtype in (jnp.bfloat16, None, jnp.float32)
                 and _jax.default_backend() == "tpu"
             )
         if not mode:

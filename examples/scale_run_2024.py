@@ -346,6 +346,12 @@ def phase_train(root: Path, epochs: int, resume: bool = False,
     from desed_task_tpu.training.single_run import single_run
 
     config = build_config(root, epochs, seed=seed)
+    if not fast:
+        # the fp32 A/B arm stays on the unfused XLA chain so its fast-fp32
+        # deltas pool with the round-4 seed pairs (docs/precision_ab/); the
+        # deployed fp32 default is now auto-fused on TPU (models/cnn.py),
+        # certified realization-equivalent by scripts/check_fp32_fused.py
+        config["net"]["fused_blocks"] = False
     exp = root / (("exp" if fast else "exp_fp32")
                   + (f"_s{seed}" if seed != 42 else ""))
     state, results = single_run(config, str(exp), checkpoint_resume=resume,

@@ -28,7 +28,15 @@ def build(variant: str):
 
     cfg = mean_teacher_2024(batch_scale=1)
     kwargs = {"compute_dtype": jnp.bfloat16}
-    if variant == "nofast":
+    if variant.startswith("fp32"):
+        # the reference-parity path (fp32 activations everywhere); suffixes
+        # toggle the fused Pallas blocks / GRU kernel on it (VERDICT r4 #2)
+        kwargs = {}
+        if "fused" in variant:
+            kwargs["fused_blocks"] = True
+        if "nogru" in variant:
+            kwargs["rnn_pallas"] = False
+    elif variant == "nofast":
         kwargs["fast_conv"] = False
     elif variant in ("folded", "shift_add"):
         kwargs["fast_conv"] = variant
@@ -54,7 +62,9 @@ def build(variant: str):
             "class_mask": np.ones((s.size, n_class), bool),
         }
     mel_cfg = MelConfig(compute_dtype="bfloat16")
-    if variant == "mel_chunked":
+    if variant.startswith("fp32"):
+        mel_cfg = MelConfig()  # fp32 DFT, like single_run(fast=False)
+    elif variant == "mel_chunked":
         mel_cfg = MelConfig(compute_dtype="bfloat16", backend="chunked")
     tx, sched = make_optimizer(lr=1e-3, rampup_steps=1000)
     state = create_state(model, cfg, tx, jax.random.key(0), batch)
@@ -70,11 +80,19 @@ def main():
 
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     variants = sys.argv[1:] or ["nofast", "fast"]
-    key = jax.random.key(1)
+
+    def key_for(v):
+        # fp32 parity variants use threefry like single_run(fast=False);
+        # an "rbg" suffix opts into the fast PRNG to isolate mask-gen cost
+        if v.startswith("fp32") and "rbg" not in v:
+            return jax.random.key(1, impl="threefry2x32")
+        return jax.random.key(1, impl="unsafe_rbg")
+
     built = {}
     for v in variants:
         t0 = time.perf_counter()
         step, state, batch, bs = build(v)
+        key = key_for(v)
         state, metrics = step(state, batch, key)  # compile + warmup
         loss = float(jax.device_get(metrics["loss"]))
         print(f"[{v}] compiled in {time.perf_counter()-t0:.0f}s loss={loss:.4f}",
@@ -85,6 +103,7 @@ def main():
     for r in range(4):
         for v in variants:
             step, state, batch, bs = built[v]
+            key = key_for(v)
             n = 10
             t0 = time.perf_counter()
             for _ in range(n):

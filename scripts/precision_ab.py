@@ -23,6 +23,26 @@ TEST_KEYS = [
     "maestro_segment_mauc", "maestro_segment_mpauc",
 ]
 
+# Round-4 matched pairs (200-epoch runs on the same seeded generator corpus;
+# batteries as committed in docs/precision_ab/summary.md at round 4). The
+# host those runs lived on was reclaimed; the corpus regenerates
+# bit-identically from its seeds, so their fast-fp32 deltas pool with the
+# fresh seeds below for the mean/CI.
+HISTORICAL = {
+    ("bf16_fast", 42): dict(zip(TEST_KEYS, [
+        0.3567, 0.4548, 0.3645, 0.4689, 0.6878, 0.4554, 0.9239, 0.8460])),
+    ("bf16_fast", 43): dict(zip(TEST_KEYS, [
+        0.3708, 0.5440, 0.3775, 0.5527, 0.6678, 0.4359, 0.9208, 0.8458])),
+    ("fp32", 42): dict(zip(TEST_KEYS, [
+        0.3887, 0.4838, 0.3982, 0.4988, 0.6782, 0.4340, 0.9283, 0.8486])),
+    ("fp32", 43): dict(zip(TEST_KEYS, [
+        0.3636, 0.5417, 0.3694, 0.5504, 0.6647, 0.4330, 0.9230, 0.8457])),
+}
+
+# two-sided 95% t critical values for n-1 dof (n = number of seed pairs)
+T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+       7: 2.365, 8: 2.306, 9: 2.262}
+
 
 def load(d: Path):
     df = pd.read_csv(d / "metrics.csv")
@@ -85,15 +105,34 @@ def main():
     for (arm, seed), (_, test) in sorted(runs.items()):
         cells = [f"{test.get(k, float('nan')):.4f}" for k in TEST_KEYS]
         lines.append(f"| {arm} | {seed} | " + " | ".join(cells) + " |")
-    # per-seed deltas (fast - fp32)
-    seeds = sorted({s for _, s in runs})
+    # per-seed deltas (fast - fp32); historical r4 pairs pool in unless the
+    # same (arm, seed) was re-run fresh
+    batteries = dict(HISTORICAL)
+    batteries.update({k: t for k, (_, t) in runs.items()})
+    hist_only = sorted(s for a, s in HISTORICAL if (a, s) not in runs)
+    seeds = sorted({s for _, s in batteries})
+    deltas = {}
     for s in seeds:
-        if ("bf16_fast", s) in runs and ("fp32", s) in runs:
-            tf = runs[("bf16_fast", s)][1]
-            t3 = runs[("fp32", s)][1]
-            cells = [f"{tf.get(k, 0) - t3.get(k, 0):+.4f}" for k in TEST_KEYS]
-            lines.append(f"| delta (fast-fp32) | {s} | "
+        if ("bf16_fast", s) in batteries and ("fp32", s) in batteries:
+            tf = batteries[("bf16_fast", s)]
+            t3 = batteries[("fp32", s)]
+            deltas[s] = {k: tf.get(k, 0) - t3.get(k, 0) for k in TEST_KEYS}
+            src = " (r4)" if s in hist_only else ""
+            cells = [f"{deltas[s][k]:+.4f}" for k in TEST_KEYS]
+            lines.append(f"| delta (fast-fp32){src} | {s} | "
                          + " | ".join(cells) + " |")
+    n = len(deltas)
+    if n >= 2:
+        import numpy as np
+
+        mat = np.array([[deltas[s][k] for k in TEST_KEYS]
+                        for s in sorted(deltas)])
+        mean = mat.mean(0)
+        half = T95[n - 1] * mat.std(0, ddof=1) / np.sqrt(n)
+        lines.append(f"| mean delta (n={n}) | all | " + " | ".join(
+            f"{m:+.4f}" for m in mean) + " |")
+        lines.append("| 95% CI half-width | all | " + " | ".join(
+            f"{h:.4f}" for h in half) + " |")
     (out / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
 
