@@ -182,6 +182,13 @@ def main():
     else:
         from desed_task_tpu.training.single_run import single_run
 
+        if not args.fast:
+            # pin the fp32 arms to the unfused XLA chain: the committed A/B
+            # runs (docs/ab_parity/) predate the round-5 fused-fp32 TPU
+            # default, whose in-kernel dropout stream is a different (equally
+            # valid) realization — pinning keeps reruns bit-identical to the
+            # committed metrics.csv (the r4 reproducibility evidence)
+            config["net"]["fused_blocks"] = False
         _, results = single_run(config, str(log_dir), fast=args.fast,
                                 checkpoint_resume=args.resume)
         out = {k: v for k, v in (results or {}).items()
