@@ -120,10 +120,17 @@ def extract_folder(
     import h5py
 
     from ..data.audio_io import read_audio
+    from ..obs.watchdog import StallWatchdog
 
     wav_files = [str(f) for f in wav_files]
     if not wav_files:
         raise ValueError("no wav files to extract")
+
+    # same stall protection as the train loop (obs/watchdog.py): extraction
+    # is a long unattended device loop on the tunneled TPU, and a wedged
+    # relay otherwise blocks the first fetch forever (observed round 5:
+    # a 20-min silent hang at the first batch). Auto-disabled on CPU.
+    wd = StallWatchdog(timeout_s=180.0)
 
     # variables must be a jit ARGUMENT: closing over them embeds the full
     # parameter set as HLO literals, which overflows the remote-compile
@@ -139,9 +146,27 @@ def extract_folder(
         audio, *_ = read_audio(path, pad_to=pad_to, test=True)
         return audio
 
+    wd.start()
+    wd.arm()
+    try:
+        _extract_loop(wd, forward, variables, wav_files, out_hdf5,
+                      batch_size, pad_to, num_workers, dtype, load, h5py)
+    finally:
+        wd.disarm()
+        wd.stop()
+    if wd.stalls:
+        print(f"[extract] watchdog: {wd.stalls} stall(s), "
+              f"{wd.stalled_seconds:.0f}s stalled, "
+              f"{wd.probes_launched} probe(s)", flush=True)
+    return out_hdf5
+
+
+def _extract_loop(wd, forward, variables, wav_files, out_hdf5,
+                  batch_size, pad_to, num_workers, dtype, load, h5py):
     first = forward(variables, jnp.zeros((batch_size, pad_to), jnp.float32))
     g_dim = first["global"].shape[-1]
     f_shape = first["frame"].shape[1:]
+    wd.beat()
 
     with h5py.File(out_hdf5, "w") as f:
         g_ds = f.create_dataset(
@@ -168,7 +193,7 @@ def extract_folder(
                 f_ds[start : start + len(chunk)] = fr
                 for i, path in enumerate(chunk):
                     names[start + i] = Path(path).stem
-    return out_hdf5
+                wd.beat()
 
 
 def extract_splits(
