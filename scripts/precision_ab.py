@@ -72,29 +72,29 @@ def main():
         arm = "fp32" if m.group(1) else "bf16_fast"
         seed = int(m.group(2) or 42)
         runs[(arm, seed)] = load(d)
-    if not runs:
-        raise SystemExit(f"no finished runs under {root}")
+    if runs:
+        # trajectory figure only when fresh run dirs exist (HISTORICAL holds
+        # final batteries, not curves — the r4 curves.png stays committed)
+        import matplotlib
 
-    import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(7, 4.5))
-    colors = {"bf16_fast": "#2ca02c", "fp32": "#1f77b4"}
-    for (arm, seed), ((steps, vals), _) in sorted(runs.items()):
-        ax.plot(steps, vals, lw=1.2, marker="o", ms=2.5,
-                color=colors[arm], alpha=0.8,
-                ls="-" if seed == 42 else "--",
-                label=f"{arm} seed{seed}")
-    ax.set_xlabel("train step")
-    ax.set_ylabel("val objective (weak F1 + intersection F1 + maestro)")
-    ax.grid(alpha=0.25)
-    ax.legend(fontsize=8)
-    ax.set_title("fp32 (golden path) vs bf16+fused-Pallas (fast path), "
-                 "matched corpus/schedule/seed")
-    fig.tight_layout()
-    fig.savefig(out / "curves.png", dpi=130)
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        colors = {"bf16_fast": "#2ca02c", "fp32": "#1f77b4"}
+        for (arm, seed), ((steps, vals), _) in sorted(runs.items()):
+            ax.plot(steps, vals, lw=1.2, marker="o", ms=2.5,
+                    color=colors[arm], alpha=0.8,
+                    ls="-" if seed == 42 else "--",
+                    label=f"{arm} seed{seed}")
+        ax.set_xlabel("train step")
+        ax.set_ylabel("val objective (weak F1 + intersection F1 + maestro)")
+        ax.grid(alpha=0.25)
+        ax.legend(fontsize=8)
+        ax.set_title("fp32 (golden path) vs bf16+fused-Pallas (fast path), "
+                     "matched corpus/schedule/seed")
+        fig.tight_layout()
+        fig.savefig(out / "curves.png", dpi=130)
 
     lines = [
         "| arm | seed | " + " | ".join(
@@ -102,13 +102,15 @@ def main():
             for k in TEST_KEYS) + " |",
         "|" + "---|" * (2 + len(TEST_KEYS)),
     ]
-    for (arm, seed), (_, test) in sorted(runs.items()):
-        cells = [f"{test.get(k, float('nan')):.4f}" for k in TEST_KEYS]
-        lines.append(f"| {arm} | {seed} | " + " | ".join(cells) + " |")
-    # per-seed deltas (fast - fp32); historical r4 pairs pool in unless the
-    # same (arm, seed) was re-run fresh
+    # battery rows: historical r4 pairs render alongside fresh runs (marked)
+    # unless the same (arm, seed) was re-run fresh
     batteries = dict(HISTORICAL)
     batteries.update({k: t for k, (_, t) in runs.items()})
+    for (arm, seed), test in sorted(batteries.items()):
+        src = "" if (arm, seed) in runs else " (r4)"
+        cells = [f"{test.get(k, float('nan')):.4f}" for k in TEST_KEYS]
+        lines.append(f"| {arm}{src} | {seed} | " + " | ".join(cells) + " |")
+    # per-seed deltas (fast - fp32)
     hist_only = sorted(s for a, s in HISTORICAL if (a, s) not in runs)
     seeds = sorted({s for _, s in batteries})
     deltas = {}
