@@ -110,6 +110,7 @@ def extract_folder(
     num_workers: int = 6,
     preprocess=None,  # e.g. kaldi fbank for AST
     dtype: str = "float32",
+    watchdog=None,  # tests inject a fast-timeout stub; None = default
 ):
     """Run the embedder over wav files and write the HDF5 store.
 
@@ -130,7 +131,7 @@ def extract_folder(
     # is a long unattended device loop on the tunneled TPU, and a wedged
     # relay otherwise blocks the first fetch forever (observed round 5:
     # a 20-min silent hang at the first batch). Auto-disabled on CPU.
-    wd = StallWatchdog(timeout_s=180.0)
+    wd = watchdog if watchdog is not None else StallWatchdog(timeout_s=180.0)
 
     # variables must be a jit ARGUMENT: closing over them embeds the full
     # parameter set as HLO literals, which overflows the remote-compile

@@ -37,6 +37,48 @@ def test_extract_folder_beats_tiny(tmp_path, rng):
         assert np.isfinite(f["global_embeddings"][:]).all()
 
 
+def test_extract_folder_watchdog_wiring(tmp_path, rng):
+    """Extraction arms the stall watchdog and disarms it on completion (the
+    round-5 wedged-relay failure mode: a silent indefinite first-batch hang).
+    A slow-batch stall must launch the probe; a clean finish must stop it."""
+    import sys
+
+    from desed_task_tpu.obs.watchdog import StallWatchdog
+
+    wavs = []
+    for i in range(3):
+        x = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        p = tmp_path / f"clip_{i}.wav"
+        write_wav(p, x, 16000)
+        wavs.append(p)
+    cfg = BEATsConfig(
+        encoder_layers=1, encoder_embed_dim=32, embed_dim=16,
+        encoder_ffn_embed_dim=32, encoder_attention_heads=2,
+        conv_pos=8, conv_pos_groups=2, num_buckets=16, max_distance=32,
+    )
+    model = BEATsModel(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16000), jnp.float32))
+
+    marker = tmp_path / "probe_ran"
+    wd = StallWatchdog(
+        timeout_s=0.05, probe_interval_s=0.02, check_interval_s=0.01,
+        probe_cmd=[sys.executable, "-c",
+                   f"open({str(marker)!r}, 'a').write('x')"],
+        enabled=True,
+    )
+    # the 50 ms stall timeout is far below the first forward's compile time
+    # on this box, so the warmup batch itself reliably trips the stall path
+    out = extract_folder(
+        model, variables, wavs, str(tmp_path / "emb2.hdf5"),
+        batch_size=1, pad_to=16000, num_workers=1, watchdog=wd,
+    )
+    assert out
+    # the first compile (>> 50 ms) must have tripped the stall path
+    assert wd.stalls >= 1 and wd.probes_launched >= 1 and marker.exists()
+    # and completion must have disarmed + stopped the watchdog
+    assert not wd._armed and wd._thread is None
+
+
 def test_panns_shapes(rng):
     model = Cnn14_16k()
     audio = jnp.asarray(rng.standard_normal((2, 32000)).astype(np.float32) * 0.1)
